@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** CSR-blocked, hash-partitioned adjacency (BASELINE.json:6, SURVEY §2.B E3).
+  *
+  * Layout: one [[AdjBlock]] row per (source vertex, chunk). The block packs
+  * the vertex's out-neighborhood as primitive arrays (dsts, weights), with
+  * weights pre-divided by the vertex's total out-weight so a PageRank
+  * scatter is a pure `rank * weight` multiply. Vertices whose degree
+  * exceeds `maxDegPerBlock` are split into several rows with `salt` =
+  * 0..k-1 — this is the explicit hub-vertex skew handling the north rule
+  * demands: no single row or join key ever carries an unbounded list.
+  *
+  * Partitioning contract (SURVEY §4.2): every vertex-keyed dataset in a
+  * superstep is hash-partitioned by `repartition(P, $"src"/$"vid")` with
+  * the SAME P (= spark.sql.shuffle.partitions), so the per-superstep
+  * adj⋈state join and the state⋈messages join are exchange-free: the only
+  * shuffle per superstep is the message aggregation itself.
+  *
+  * Build cost: one shuffle for out-weight totals (groupBy src — reuses the
+  * same partitioning), one repartition + partition-local sort, one
+  * mapPartitions pack. Built once, persisted, reused every superstep.
+  */
+object Csr {
+
+  /** How the per-edge scatter weight is derived from the edge weight. */
+  sealed trait WeightMode
+  object WeightMode {
+    /** 1/outDegree — uniform out-distribution (unweighted PageRank). */
+    case object NormUniform extends WeightMode
+    /** weight/Σ out-weights — weighted PageRank. */
+    case object NormWeighted extends WeightMode
+    /** The raw edge weight (label propagation frequency counting). */
+    case object Raw extends WeightMode
+    /** Constant 1.0 (WCC — weights irrelevant). */
+    case object One extends WeightMode
+  }
+
+  /** Build adjacency blocks from an edge table.
+    *
+    * @param maxDegPerBlock hub chunk size — bounds per-row memory and the
+    *                 unit of skew-splitting.
+    */
+  def build(
+      edges: Dataset[Edge],
+      numPartitions: Int,
+      mode: WeightMode = WeightMode.NormUniform,
+      maxDegPerBlock: Int = 1 << 16,
+  ): Dataset[AdjBlock] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import WeightMode._
+    val withW: org.apache.spark.sql.DataFrame = mode match {
+      case Raw => edges.select(col("src"), col("dst"), col("weight").as("w"))
+      case One => edges.select(col("src"), col("dst"), lit(1.0).as("w"))
+      case _ =>
+        val totals = edges.groupBy("src").agg(
+          sum("weight").as("totW"),
+          count(lit(1)).cast("double").as("deg"),
+        )
+        val norm =
+          if (mode == NormWeighted) col("weight") / col("totW")
+          else lit(1.0) / col("deg")
+        edges.join(totals, "src").select(col("src"), col("dst"), norm.as("w"))
+    }
+    withW
+      .repartition(numPartitions, col("src"))
+      .sortWithinPartitions("src", "dst")
+      .mapPartitions { rows: Iterator[Row] =>
+        val out = ArrayBuffer.empty[AdjBlock]
+        var cur = Long.MinValue
+        var salt = 0
+        var ds = new ArrayBuffer[Long](256)
+        var ws = new ArrayBuffer[Double](256)
+        def flush(): Unit = if (ds.nonEmpty) {
+          out += AdjBlock(cur, salt, ds.toArray, ws.toArray)
+          ds = new ArrayBuffer[Long](256)
+          ws = new ArrayBuffer[Double](256)
+        }
+        rows.foreach { r =>
+          val s = r.getLong(0)
+          if (s != cur) { flush(); cur = s; salt = 0 }
+          else if (ds.length >= maxDegPerBlock) { flush(); salt += 1 }
+          ds += r.getLong(1)
+          ws += r.getDouble(2)
+        }
+        flush()
+        out.iterator
+      }
+  }
+
+  /** Total adjacency entries — the |E| used for edges-traversed/sec. */
+  def edgeCount(adj: Dataset[AdjBlock]): Long =
+    adj.select(sum(size(col("dsts")))).head().getLong(0)
+
+  /** Unpack blocks back to a normalized edge list (round-trip tests). */
+  def unpack(adj: Dataset[AdjBlock]): Dataset[Edge] = {
+    import adj.sparkSession.implicits._
+    adj
+      .select(
+        col("src"),
+        explode(arrays_zip(col("dsts"), col("weights"))).as("e"),
+      )
+      .select(
+        col("src"),
+        col("e.dsts").as("dst"),
+        col("e.weights").as("weight"),
+      )
+      .as[Edge]
+  }
+}

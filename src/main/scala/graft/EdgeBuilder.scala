@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Source table → vertex dictionary + co-occurrence edge table.
+  *
+  * This is the Dataset translation of the reference's SPARQL BGP matching
+  * (BASELINE.json:6): "edges built from repo/path/commit co-occurrence
+  * triple patterns translated into typed Dataset joins". Two triple
+  * patterns sharing the ?commit variable become a self-equi-join on the
+  * `commit` column (SURVEY.md §2.A J1/J2).
+  *
+  * Scale notes (10^12-file design target):
+  *   - `content` is projected away before any join — only (group, vid)
+  *     pairs flow into the self-join, so the scan prunes the huge column
+  *     (verify with .explain: ReadSchema must not include content).
+  *   - all-pairs co-occurrence is quadratic in group size; groups larger
+  *     than `maxGroup` are connected as a star to the group's min-vid
+  *     member instead (O(group) edges, connectivity preserved). Without
+  *     this cap a single 1e6-file commit emits 5e11 edges.
+  *   - vertex ids are xxhash64(key) — no global sort, no
+  *     monotonically_increasing_id (nondeterministic across runs, which
+  *     would break the exact-match contract of BASELINE.json:14).
+  */
+object EdgeBuilder {
+
+  /** repo + "/" + path — the vertex key of a file. */
+  private def keyCol = concat(col("repo"), lit("/"), col("path"))
+
+  /** Stable 64-bit vertex id for a key column (xxhash64, seed 42). */
+  def vidOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(key)
+
+  def withSha(src: Dataset[SourceFile]): DataFrame =
+    src.withColumn("sha", sha2(col("content"), 256))
+
+  /** Vertex dictionary: distinct file keys → deterministic Long ids. */
+  def vertices(src: Dataset[SourceFile]): Dataset[VertexKey] = {
+    import src.sparkSession.implicits._
+    src
+      .select(keyCol.as("key"))
+      .distinct()
+      .select(vidOf(col("key")).as("vid"), col("key"))
+      .as[VertexKey]
+  }
+
+  /** Hash ids are only usable if collision-free; assert it (SURVEY §2.3 E2).
+    * Falls back would be a one-off global-sort dictionary; with 64-bit
+    * xxhash64 the collision probability at 1e9 keys is ~2.7e-2 via birthday
+    * bound at 1e12 it would need the sorted dictionary — the assert is what
+    * tells us.
+    */
+  def assertNoCollisions(v: Dataset[VertexKey]): Unit = {
+    val r = v.agg(count(lit(1)).as("n"), countDistinct(col("vid")).as("d"))
+      .head()
+    require(
+      r.getLong(0) == r.getLong(1),
+      s"vertex-id hash collision: ${r.getLong(0)} keys, ${r.getLong(1)} ids",
+    )
+  }
+
+  /** All-pairs (capped) co-occurrence pairs from a (grp, vid) membership
+    * relation. Returns oriented pairs src < dst.
+    */
+  private def pairsFromMembership(mem: DataFrame, maxGroup: Int): DataFrame = {
+    val sizes = mem.groupBy("grp")
+      .agg(count(lit(1)).as("gsz"), min("vid").as("gmin"))
+    val m = mem.join(sizes, "grp")
+    val small = m.where(col("gsz") <= maxGroup)
+    val allPairs = small.as("a")
+      .join(
+        small.as("b"),
+        col("a.grp") === col("b.grp") && col("a.vid") < col("b.vid"),
+      )
+      .select(col("a.vid").as("src"), col("b.vid").as("dst"))
+    // star fallback for huge groups: every member → group's min vid
+    val starPairs = m
+      .where(col("gsz") > maxGroup && col("vid") =!= col("gmin"))
+      .select(col("gmin").as("src"), col("vid").as("dst"))
+    allPairs.unionByName(starPairs)
+  }
+
+  /** Build the weighted, canonically-oriented (src < dst) edge table. */
+  def edges(src: Dataset[SourceFile], cfg: EdgeConfig = EdgeConfig())
+      : Dataset[Edge] = {
+    import src.sparkSession.implicits._
+    val base = src.select(
+      col("commit"),
+      col("path"),
+      col("repo"),
+      vidOf(keyCol).as("vid"),
+    )
+    val parts = Seq.newBuilder[DataFrame]
+    if (cfg.byCommit) {
+      val mem = base.select(col("commit").as("grp"), col("vid")).distinct()
+      parts += pairsFromMembership(mem, cfg.maxGroup)
+    }
+    if (cfg.byPath) {
+      // same path appearing in >1 repo links those files across repos
+      val mem = base.select(col("path").as("grp"), col("vid")).distinct()
+      parts += pairsFromMembership(mem, cfg.maxGroup)
+    }
+    val all = parts.result().reduce(_ unionByName _)
+    all
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).cast("double").as("weight"))
+      .as[Edge]
+  }
+
+  /** Undirected view: both directions of every edge, weights merged. */
+  def symmetrize(e: Dataset[Edge]): Dataset[Edge] = {
+    import e.sparkSession.implicits._
+    e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+        .as[Edge]
+    )
+      .groupBy("src", "dst")
+      .agg(sum("weight").as("weight"))
+      .as[Edge]
+  }
+}

@@ -1,0 +1,97 @@
+package graft.algos
+
+import graft._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+final case class TriResult(global: Long, perVertex: DataFrame)
+
+/** Exact triangle counting (B4, BASELINE.json:6,14).
+  *
+  * Degree-ordered orientation + sorted-adjacency intersection — the
+  * standard shuffle-lean distributed scheme:
+  *
+  *   1. canonicalize to undirected distinct pairs (u < v);
+  *   2. orient each edge from the endpoint with the SMALLER (degree, vid)
+  *      to the larger. Every vertex's oriented out-degree is then O(√|E|)
+  *      even for hubs — this is the skew kill switch: without it a
+  *      hub's adjacency intersection work is quadratic in its degree
+  *      (SURVEY §7.4.4; orientation is mandatory, not a tweak);
+  *   3. gather oriented adjacency as sorted arrays per source;
+  *   4. for each oriented edge (u,v): triangles through it =
+  *      |adj(u) ∩ adj(v)| via array_intersect — each triangle counted
+  *      exactly once (at its lowest-ordered edge);
+  *   5. per-vertex counts: u and v get |∩| each, every w ∈ ∩ gets 1.
+  *
+  * Deterministic and exact: set intersection has no float or ordering
+  * sensitivity. Invariant Σ_v tri(v) = 3·T is asserted in tests.
+  */
+object Triangles {
+
+  def run(edges: Dataset[Edge]): TriResult = {
+    val spark = edges.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val und = edges
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+      )
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("vid"))
+      .unionByName(und.select(col("b").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("deg"))
+    // orient: keep u -> v iff (deg(u), u) < (deg(v), v)
+    val oriented = und
+      .join(deg.withColumnRenamed("vid", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("vid", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(
+          col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          col("a"),
+        ).otherwise(col("b")).as("u"),
+        when(
+          col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          col("b"),
+        ).otherwise(col("a")).as("v"),
+      )
+      .repartition(p, col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(
+        adj.select(col("u").as("v"), col("nbrs").as("nv")),
+        Seq("v"),
+      )
+      .select(
+        col("u"),
+        col("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"),
+      )
+      .where(size(col("ws")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val global = tri.agg(sum(size(col("ws")))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val corners = tri.select(col("u").as("vid"), size(col("ws")).cast("long").as("c"))
+      .unionByName(
+        tri.select(col("v").as("vid"), size(col("ws")).cast("long").as("c"))
+      )
+      .unionByName(tri.select(explode(col("ws")).as("vid"), lit(1L).as("c")))
+      .groupBy("vid").agg(sum("c").as("c"))
+    // vertices in no triangle get an explicit 0
+    val perVertex = deg.select(col("vid"))
+      .join(corners, Seq("vid"), "left_outer")
+      .select(col("vid"), coalesce(col("c"), lit(0L)).as("triangles"))
+    und.unpersist(false)
+    TriResult(global, perVertex)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.oracle
+
+import graft.{LpConfig, PrConfig}
+import scala.collection.mutable
+
+/** In-repo single-threaded oracles — the operationalized "reference
+  * implementation" (SURVEY §0, §5.1): /root/reference is empty, so these
+  * obviously-correct plain-Scala implementations define the semantics the
+  * distributed engine must match (PageRank allclose 1e-6; WCC/LP/triangles
+  * exact — BASELINE.json:14).
+  *
+  * Inputs are unique directed (src, dst, weight) triples; vertices are
+  * inferred from edge endpoints.
+  */
+object Oracles {
+
+  def verticesOf(edges: Seq[(Long, Long, Double)]): Seq[Long] =
+    (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+
+  /** Dense power-iteration PageRank, semantics identical to the engine:
+    * rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)·w(u,v) + danglingMass/N),
+    * loop while iter < maxIter && maxDelta > tol.
+    */
+  def pageRank(
+      edges: Seq[(Long, Long, Double)],
+      cfg: PrConfig,
+  ): Map[Long, Double] = {
+    val verts = verticesOf(edges)
+    val n = verts.length
+    val idx = verts.zipWithIndex.toMap
+    val outW = new Array[Double](n)
+    val outDeg = new Array[Int](n)
+    edges.foreach { case (s, _, w) =>
+      outW(idx(s)) += w; outDeg(idx(s)) += 1
+    }
+    val d = cfg.damping
+    var rank = Array.fill(n)(1.0 / n)
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < cfg.maxIter && delta > cfg.tol) {
+      val msg = new Array[Double](n)
+      edges.foreach { case (s, t, w) =>
+        val si = idx(s)
+        val share =
+          if (cfg.weighted) w / outW(si) else 1.0 / outDeg(si)
+        msg(idx(t)) += rank(si) * share
+      }
+      var dm = 0.0
+      var i = 0
+      while (i < n) { if (outDeg(i) == 0) dm += rank(i); i += 1 }
+      val next = new Array[Double](n)
+      delta = 0.0
+      i = 0
+      while (i < n) {
+        next(i) = (1.0 - d) / n + d * (msg(i) + dm / n)
+        val dd = math.abs(next(i) - rank(i))
+        if (dd > delta) delta = dd
+        i += 1
+      }
+      rank = next
+      iter += 1
+    }
+    verts.map(v => v -> rank(idx(v))).toMap
+  }
+
+  /** Union-find WCC; component id = min vid in the component. */
+  def wcc(edges: Seq[(Long, Long, Double)]): Map[Long, Long] = {
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = verticesOf(edges)
+    verts.foreach(v => parent.getOrElseUpdate(v, v))
+    edges.foreach { case (s, t, _) => union(s, t) }
+    // min vid is the root by construction (we always hang max under min)
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  /** Synchronous label propagation, weighted frequency, smallest-label
+    * tie-break, fixed iteration count — identical rule to the engine.
+    */
+  def labelProp(
+      edges: Seq[(Long, Long, Double)],
+      cfg: LpConfig,
+  ): Map[Long, Long] = {
+    val base =
+      if (cfg.symmetrize) {
+        val m = mutable.Map.empty[(Long, Long), Double]
+        edges.foreach { case (s, t, w) =>
+          m((s, t)) = m.getOrElse((s, t), 0.0) + w
+          m((t, s)) = m.getOrElse((t, s), 0.0) + w
+        }
+        m.toSeq.map { case ((s, t), w) => (s, t, w) }
+      } else edges
+    val verts = verticesOf(base)
+    var label = verts.map(v => v -> v).toMap
+    for (_ <- 0 until cfg.iterations) {
+      val counts =
+        mutable.Map.empty[Long, mutable.Map[Long, Double]]
+      base.foreach { case (s, t, w) =>
+        val c = counts.getOrElseUpdate(t, mutable.Map.empty)
+        val l = label(s)
+        val ww = if (cfg.weighted) w else 1.0
+        c(l) = c.getOrElse(l, 0.0) + ww
+      }
+      label = verts.map { v =>
+        counts.get(v) match {
+          case None => v -> label(v)
+          case Some(c) =>
+            val best = c.toSeq.minBy { case (l, w) => (-w, l) }
+            v -> best._1
+        }
+      }.toMap
+    }
+    label
+  }
+
+  /** Exact triangle count: (global, per-vertex). */
+  def triangles(
+      edges: Seq[(Long, Long, Double)]
+  ): (Long, Map[Long, Long]) = {
+    val und = edges
+      .map { case (s, t, _) => (math.min(s, t), math.max(s, t)) }
+      .filter { case (a, b) => a != b }
+      .distinct
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    val verts = verticesOf(edges)
+    val per = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var global = 0L
+    und.foreach { case (a, b) =>
+      val na = adj(a); val nb = adj(b)
+      val (small, big) = if (na.size <= nb.size) (na, nb) else (nb, na)
+      small.foreach { w =>
+        if (w > b && big.contains(w)) {
+          global += 1
+          per(a) += 1; per(b) += 1; per(w) += 1
+        }
+      }
+    }
+    (global, verts.map(v => v -> per(v)).toMap)
+  }
+}
