@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.algos.PageRank
+
+/** Driver-run benchmark: times every SparkEntry query by `.count()` at
+  * `local[$SPARK_GRAFT_CPUS]` on `$SPARK_GRAFT_SF_DIR`, plus the headline
+  * metric of BASELINE.json:2 — edges traversed/sec over PageRank
+  * supersteps on the same scale's co-occurrence graph. One JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +16,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,7 +28,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline: PageRank superstep throughput on this scale's graph
+    val pr = {
+      import spark.implicits._
+      val edges = EdgeBuilder
+        .cooccurrence(
+          spark.read.parquet(s"$sfDir/lineitem.parquet"),
+          "l_orderkey",
+          "l_partkey",
+        )
+        .select(col("src"), col("dst"), col("weight").cast("double"))
+        .as[Edge]
+      PageRank.run(edges, PrConfig(tol = 0.0, maxIter = 10))
+    }
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pr_edges_per_sec":${pr.edgesPerSec},"pr_edges":${pr.edgeCount},"pr_supersteps":${pr.iterations},"pr_seconds":${pr.wallSeconds}}"""
+    )
     spark.stop()
   }
 }

@@ -60,6 +60,25 @@ object EdgeBuilder {
     )
   }
 
+  /** Generic co-occurrence edge table over ANY (group, vertex) relation:
+    * vertices sharing a group get an edge weighted by the number of shared
+    * groups (the public operator behind the SPARQL-BGP translation; also
+    * used for the lineitem part-co-occurrence test graph, FIXTURES.md §3).
+    */
+  def cooccurrence(
+      rel: DataFrame,
+      grpCol: String,
+      vidCol: String,
+      maxGroup: Int = 1024,
+  ): DataFrame = {
+    val mem = rel
+      .select(col(grpCol).as("grp"), col(vidCol).as("vid"))
+      .distinct()
+    pairsFromMembership(mem, maxGroup)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** All-pairs (capped) co-occurrence pairs from a (grp, vid) membership
     * relation. Returns oriented pairs src < dst.
     */

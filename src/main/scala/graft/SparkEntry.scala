@@ -1,13 +1,370 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.algos.{LabelProp, PageRank, Triangles, Wcc}
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible query ships a DuckDB oracle in [[oracleSql]];
+  * column names AND types are aligned on both sides (longs for counts,
+  * DECIMAL(18,2) for money sums — double sums are reduction-order
+  * dependent and would hash-mismatch). Iterative graph algorithms and
+  * xxhash64-based sketches are not expressible in portable SQL and are
+  * covered by the in-repo oracle suites instead (SURVEY §5.1).
+  *
+  * The test graph for the graph-operator queries is lineitem part
+  * co-occurrence (parts sharing an l_orderkey), structurally mirroring
+  * the commit co-occurrence of the engine's source-code input
+  * (FIXTURES.md §3).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def partEdges(s: SparkSession, dir: String): DataFrame =
+    EdgeBuilder.cooccurrence(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+
+  private def partEdgeDs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    partEdges(s, dir)
+      .select(col("src"), col("dst"), col("weight").cast("double"))
+      .as[Edge]
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full pipeline — co-occurrence edge build → PageRank → top parts.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ranks = PageRank
+      .run(partEdgeDs(spark, dir), PrConfig(tol = 1e-8, maxIter = 20))
+      .ranks
+    ranks.toDF()
+      .join(
+        t(spark, dir, "part"),
+        col("vid") === col("p_partkey"),
+        "inner",
+      )
+      .select(col("vid"), col("p_name"), col("rank"))
+      .orderBy(col("rank").desc, col("vid"))
+      .limit(10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- graph substrate: BGP-style co-occurrence join (J2/E1) ----
+    "q_edges" -> ((s, d) => partEdges(s, d)),
+    "q_degrees" -> { (s, d) =>
+      val e = partEdges(s, d)
+      e.select(col("src").as("vid"), col("weight"))
+        .unionByName(e.select(col("dst").as("vid"), col("weight")))
+        .groupBy("vid")
+        .agg(count(lit(1)).as("degree"), sum("weight").as("wdegree"))
+    },
+    "q_top_hubs" -> { (s, d) =>
+      val e = partEdges(s, d)
+      e.select(col("src").as("vid"), col("weight"))
+        .unionByName(e.select(col("dst").as("vid"), col("weight")))
+        .groupBy("vid")
+        .agg(count(lit(1)).as("degree"), sum("weight").as("wdegree"))
+        .orderBy(col("wdegree").desc, col("degree").desc, col("vid"))
+        .limit(20)
+    },
+    // ---- graph algorithms (B1-B4) ----
+    "q_tri_global" -> { (s, d) =>
+      import s.implicits._
+      val g = Triangles.run(partEdgeDs(s, d)).global
+      s.createDataset(Seq(g)).toDF("triangles")
+    },
+    "q_tri_pervertex" -> ((s, d) =>
+      Triangles.run(partEdgeDs(s, d)).perVertex),
+    "q_pagerank_top20" -> { (s, d) =>
+      PageRank
+        .run(partEdgeDs(s, d), PrConfig(tol = 0.0, maxIter = 8))
+        .ranks.toDF()
+        .orderBy(col("rank").desc, col("vid"))
+        .limit(20)
+        .select(col("vid"), col("rank"))
+    },
+    "q_wcc_sizes" -> { (s, d) =>
+      Wcc.run(partEdgeDs(s, d)).toDF()
+        .groupBy("comp").agg(count(lit(1)).as("cnt"))
+    },
+    "q_labelprop_sizes" -> { (s, d) =>
+      LabelProp.run(partEdgeDs(s, d), LpConfig(iterations = 3)).toDF()
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+    },
+    // ---- relational / SPARQL-algebra layer (P/J/G/W/O/U) ----
+    "q1_agg" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"),
+        )
+    },
+    "q_market_join" -> { (s, d) =>
+      t(s, d, "orders")
+        .join(
+          t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("orders_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
+        )
+    },
+    "q_cust_no_orders" -> { (s, d) =>
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti",
+        )
+        .select("c_custkey")
+    },
+    "q_cust_big_spenders" -> { (s, d) =>
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders").where(col("o_totalprice") > 40000),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi",
+        )
+        .select("c_custkey", "c_mktsegment")
+    },
+    "q_window_top_orders" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          row_number().over(w).cast("long").as("rnk"),
+        )
+        .where(col("rnk") <= 2)
+    },
+    "q_events_hourly" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"),
+        )
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("double").as("sum_value"),
+        )
+    },
+    "q_events_json" -> { (s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+        )
+    },
+    // ---- training-data layer: dedup / text / similarity ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
+    "q_text_stats" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.distinctTokenCount(col("text")).cast("long")
+          .as("n_distinct_tokens"),
+        Text.punctCount(col("text")).cast("long").as("n_punct"),
+        col("n_chars"),
+      )
+    },
+    "q_lang_guess" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.stopwordCount(col("text"), Text.StopEn).cast("long")
+          .as("en_cnt"),
+        Text.stopwordCount(col("text"), Text.StopDe).cast("long")
+          .as("de_cnt"),
+        Text.langGuess(col("text")).as("guess"),
+      )
+    },
+    "q_fingerprint" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    },
+    "q_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairsWithin(t(s, d, "documents"), "doc_id", "text",
+        "source")),
+    "q_ann_cosine" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        emb,
+        emb.where(col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k = 5,
+      )
+    },
+    // ---- non-SQL-expressible (xxhash64 sketches, LSH, media) —
+    //      rows-only driver check; correctness via scalatest oracles ----
+    "q_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.3)),
+    "q_simhash" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.simhash64(col("text")).as("simhash"))
+    },
+    "q_lsh_ann" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(
+        emb,
+        emb.where(col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k = 5,
+        bandBits = 4,
+      )
+    },
+    "q_media_features" -> { (s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.fromText(t(s, d, "documents"), "doc_id", "text", "image")
+      ).toDF()
+    },
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = {
+    val edgesCte =
+      """m AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS vid FROM lineitem),
+        |e AS (SELECT a.vid AS src, b.vid AS dst, count(*) AS weight
+        |      FROM m a JOIN m b ON a.grp = b.grp AND a.vid < b.vid
+        |      GROUP BY 1, 2)""".stripMargin
+    val degreesSql =
+      s"""WITH $edgesCte,
+         |u AS (SELECT src AS vid, weight FROM e
+         |      UNION ALL SELECT dst, weight FROM e)
+         |SELECT vid, count(*) AS degree,
+         |       CAST(sum(weight) AS BIGINT) AS wdegree
+         |FROM u GROUP BY 1""".stripMargin
+    Map(
+      "q_edges" ->
+        s"WITH $edgesCte SELECT src, dst, weight FROM e",
+      "q_degrees" -> degreesSql,
+      "q_top_hubs" ->
+        s"""SELECT * FROM ($degreesSql)
+           |ORDER BY wdegree DESC, degree DESC, vid LIMIT 20""".stripMargin,
+      "q_tri_global" ->
+        s"""WITH $edgesCte
+           |SELECT count(*) AS triangles
+           |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+           |JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+      "q_tri_pervertex" ->
+        s"""WITH $edgesCte,
+           |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+           |        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+           |        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+           |verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+           |cnts AS (SELECT vid, count(*) AS c FROM (
+           |  SELECT a AS vid FROM tri UNION ALL
+           |  SELECT b FROM tri UNION ALL
+           |  SELECT c FROM tri) GROUP BY 1)
+           |SELECT v.vid, COALESCE(cnts.c, 0) AS triangles
+           |FROM verts v LEFT JOIN cnts ON v.vid = cnts.vid""".stripMargin,
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |  count(*) AS cnt
+          |FROM lineitem GROUP BY 1, 2""".stripMargin,
+      "q_market_join" ->
+        """SELECT c_mktsegment, count(*) AS orders_cnt,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1""".stripMargin,
+      "q_cust_no_orders" ->
+        """SELECT c_custkey FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+      "q_cust_big_spenders" ->
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 40000)""".stripMargin,
+      "q_window_top_orders" ->
+        """SELECT o_custkey, o_orderkey, rnk FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    CAST(row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+          |  FROM orders) WHERE rnk <= 2""".stripMargin,
+      "q_events_hourly" ->
+        """SELECT date_trunc('hour', ts) AS hour, event_type,
+          |  count(*) AS cnt,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "q_events_json" ->
+        """SELECT event_id,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events""".stripMargin,
+      "q_dedup_exact" ->
+        """SELECT sha256(text) AS sha, count(*) AS cnt,
+          |  min(doc_id) AS keep_id
+          |FROM documents GROUP BY 1""".stripMargin,
+      "q_text_stats" ->
+        """SELECT doc_id,
+          |  len(string_split_regex(text, '\s+')) AS n_tokens,
+          |  len(list_distinct(string_split_regex(text, '\s+'))) AS n_distinct_tokens,
+          |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS BIGINT) AS n_punct,
+          |  n_chars
+          |FROM documents""".stripMargin,
+      "q_lang_guess" ->
+        """WITH s AS (SELECT doc_id,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      t -> t IN ('the','a','of','and','to'))) AS en_cnt,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      t -> t IN ('der','die','das','und','ein'))) AS de_cnt,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      t -> t IN ('le','la','les','et','un'))) AS fr_cnt,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      t -> t IN ('el','los','las','y','una'))) AS es_cnt
+          |FROM documents)
+          |SELECT doc_id, en_cnt, de_cnt,
+          |  CASE WHEN en_cnt + de_cnt + fr_cnt + es_cnt = 0 THEN 'unknown'
+          |       WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt AND en_cnt >= es_cnt THEN 'en'
+          |       WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt THEN 'de'
+          |       WHEN fr_cnt >= es_cnt THEN 'fr'
+          |       ELSE 'es' END AS guess
+          |FROM s""".stripMargin,
+      "q_fingerprint" ->
+        """SELECT doc_id,
+          |  sha256(array_to_string(list_sort(list_distinct(
+          |    string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+          |FROM documents""".stripMargin,
+      "q_jaccard_pairs" ->
+        """WITH t AS (SELECT doc_id, source,
+          |  list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+          |FROM documents)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_cnt,
+          |  CAST(len(a.toks) + len(b.toks)
+          |    - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_cnt
+          |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+      "q_ann_cosine" ->
+        """SELECT query_id, neighbor_id, rnk FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_cosine_similarity(
+          |        CAST(q.embedding AS DOUBLE[]),
+          |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT) AS rnk
+          |  FROM embeddings q JOIN embeddings c
+          |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+          |) WHERE rnk <= 5""".stripMargin,
+    )
+  }
 }

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline layer.
+  *
+  * Everything here is pure built-in Catalyst expressions (no UDFs) so the
+  * hot path stays inside codegen and the same computation is expressible
+  * as ANSI SQL for the DuckDB oracle. All outputs are deterministic.
+  */
+object Text {
+
+  /** Whitespace tokenization (mirrors `string_split_regex(s, '\s+')`). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** Count of tokens belonging to a stopword list. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val set = stopwords.map(lit(_))
+    size(filter(tokens(lower(text)), t => array_contains(array(set: _*), t)))
+  }
+
+  /** Tiny per-language stopword lists for the heuristic language guesser.
+    * (The driver testdata has synthetic vocab, so the oracle checks the
+    * HEURISTIC's computation, not linguistic truth.)
+    */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ein")
+  val StopFr: Seq[String] = Seq("le", "la", "les", "et", "un")
+  val StopEs: Seq[String] = Seq("el", "los", "las", "y", "una")
+
+  /** Argmax language guess with fixed priority tie-break
+    * (en > de > fr > es > unknown) — deterministic by construction.
+    */
+  def langGuess(text: Column): Column = {
+    val en = stopwordCount(text, StopEn)
+    val de = stopwordCount(text, StopDe)
+    val fr = stopwordCount(text, StopFr)
+    val es = stopwordCount(text, StopEs)
+    when(en + de + fr + es === 0, lit("unknown"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Quality features: ratio-free integer counts (exact cross-engine). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+
+  /** Order-insensitive document fingerprint: sha256 of the sorted distinct
+    * lowercase token set. Two docs with the same bag-of-words (ignoring
+    * multiplicity and order) collide — a cheap shuffle-robust near-dup key.
+    */
+  def fingerprint(text: Column): Column =
+    sha2(
+      concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))),
+      256,
+    )
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))),
+        )
+      )
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the shingle set. Distinct seeds come from
+    * hashing (shingle, hashIndex) pairs — one pass, all built-ins.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingleCol, s => xxhash64(s, h))),
+    )
+
+  /** LSH band keys from a minhash signature: hash of each band of
+    * `rowsPerBand` consecutive signature entries. Docs sharing ANY band
+    * key are near-duplicate candidates.
+    */
+  def bandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
+      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b),
+    )
+
+  /** Bit b (as 0/1 Long) of a Long column; shift amount may be a Column
+    * (the Scala `shiftright` helper only takes a literal Int).
+    */
+  private def bitAt(x: Column, b: Column): Column =
+    call_function("shiftright", x, b).bitwiseAND(lit(1L))
+
+  /** 64-bit SimHash over the token multiset: bit b is set iff the sum of
+    * ±1 votes (bit b of each token's xxhash64) is positive.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val powers = lit((0 until 64).map(i => 1L << i).toArray)
+    val bits = transform(
+      sequence(lit(0), lit(63)),
+      b =>
+        when(
+          aggregate(
+            toks,
+            lit(0L),
+            (acc, t) =>
+              acc + when(bitAt(xxhash64(t), b) === 1L, lit(1L))
+                .otherwise(lit(-1L)),
+          ) > 0,
+          lit(1L),
+        ).otherwise(lit(0L)),
+    )
+    aggregate(
+      zip_with(bits, powers, (bit, p) => bit * p),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x),
+    )
+  }
+
+  /** Split a 64-bit simhash into `chunks` equal bit-chunks; two docs within
+    * hamming distance < chunks must share at least one chunk (pigeonhole),
+    * so chunk equality is a complete candidate filter for that radius.
+    */
+  def simhashChunks(sim: Column, chunks: Int): Column = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    transform(
+      sequence(lit(0), lit(chunks - 1)),
+      c => call_function("shiftright", sim, c * width).bitwiseAND(lit(mask)),
+    )
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+}

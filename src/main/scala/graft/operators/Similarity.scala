@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>), entirely in built-in Catalyst expressions.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     Query set is broadcast (small); the corpus streams once; cost
+  *     O(|Q|·|C|·dim). Fine for |Q| small at any corpus size, and the
+  *     oracle for recall tests.
+  *   - [[lshTopK]]: the scale path — sign-random-projection LSH buckets
+  *     the corpus ONCE by a band of hyperplane signs; each query probes
+  *     only its own bucket(s). The hyperplanes are pseudo-random ±1
+  *     Rademacher vectors derived from xxhash64(bit, dim) — deterministic
+  *     across runs and engines, no RNG state to ship.
+  *
+  * All arithmetic is float64 (cast up from the float32 storage) so
+  * results are reproducible and comparable against a float64 oracle.
+  */
+object Similarity {
+
+  /** dot(a, b) over array<double> columns, left-to-right accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors of each query vector.
+    *
+    * @param corpus  (idCol, vecCol: array<float>)
+    * @param queries (idCol, vecCol) — small, broadcast
+    * @return (query_id, neighbor_id, rnk) with rnk 1..k, ties broken by
+    *         neighbor id (deterministic)
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+  ): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"),
+    )
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"),
+    )
+    val scored = c
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"),
+      )
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .select(col("*"), row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long"))
+  }
+
+  /** Sign-random-projection bits: bit i = [dot(v, h_i) > 0] where h_i is a
+    * deterministic ±1 hyperplane (sign of xxhash64(i, dim)).
+    */
+  def srpBits(vec: Column, numBits: Int): Column =
+    transform(
+      sequence(lit(0), lit(numBits - 1)),
+      i =>
+        when(
+          aggregate(
+            zip_with(
+              vec,
+              sequence(lit(0), size(vec) - 1),
+              (x, d) =>
+                when(xxhash64(i, d).bitwiseAND(lit(1L)) === 1L, x)
+                  .otherwise(-x),
+            ),
+            lit(0.0),
+            (acc, x) => acc + x,
+          ) > 0,
+          lit(1L),
+        ).otherwise(lit(0L)),
+    )
+
+  /** Bucket key from the first `bandBits` SRP bits. */
+  def srpBucket(vec: Column, bandBits: Int): Column =
+    aggregate(
+      zip_with(
+        srpBits(vec, bandBits),
+        lit((0 until bandBits).map(i => 1L << i).toArray),
+        (b, p) => b * p,
+      ),
+      lit(0L),
+      (acc, x) => acc + x,
+    )
+
+  /** LSH-bucketed ANN: candidates = corpus vectors in the query's SRP
+    * bucket; exact cosine re-rank within the bucket. Trades recall for a
+    * |C|/2^bandBits candidate set — the 100 TB path (the bucket join is a
+    * plain equi-join that shuffles by bucket key; no all-pairs anywhere).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bandBits: Int = 8,
+  ): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"),
+      srpBucket(asDouble(col(vecCol)), bandBits).as("bucket"),
+    )
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"),
+      srpBucket(asDouble(col(vecCol)), bandBits).as("bucket"),
+    )
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"),
+      )
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .select(col("*"), row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long"))
+  }
+
+  /** Exact cosine near-duplicate pairs: all corpus pairs with
+    * cosine >= threshold, bucketed by SRP band first so the pair join is
+    * band-local (near-identical vectors agree on all bits with high
+    * probability). Returns (id_a, id_b) with id_a < id_b.
+    */
+  def cosineNearDupCandidates(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bandBits: Int = 8,
+  ): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("id"),
+      asDouble(col(vecCol)).as("vec"),
+      srpBucket(asDouble(col(vecCol)), bandBits).as("bucket"),
+    )
+    c.as("a")
+      .join(c.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        cosine(col("a.vec"), col("b.vec")).as("sim"),
+      )
+      .where(col("sim") >= threshold)
+  }
+}

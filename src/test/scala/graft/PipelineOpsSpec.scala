@@ -1,0 +1,175 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Dedup, FakeDecoder, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup families, ANN, text analysis,
+  * multimodal plumbing. Fixtures plant known duplicates/neighbors so
+  * recall is checkable without external libs.
+  */
+class PipelineOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while morning light slowly crosses the quiet valley floor"
+
+  /** 20 distinct docs + 2 planted near-dup pairs + 1 exact dup pair. */
+  private val docs: Seq[(Long, String, String)] = {
+    val r = new scala.util.Random(7)
+    val words = baseText.split(" ")
+    val distinct = (0L until 20L).map { i =>
+      val w = (0 until 25).map(_ => words(r.nextInt(words.length)) + r.nextInt(50))
+      (i, w.mkString(" "), s"src${i % 3}")
+    }
+    val nearDup1 = (100L, baseText, "src0")
+    val nearDup2 = (101L, baseText.replace("quick", "swift"), "src0")
+    val nearDup3 = (102L, baseText + " extra tail words here", "src1")
+    val exactA = (200L, "identical content here", "src2")
+    val exactB = (201L, "identical content here", "src2")
+    distinct ++ Seq(nearDup1, nearDup2, nearDup3, exactA, exactB)
+  }
+
+  private lazy val docsDf =
+    docs.toDF("doc_id", "text", "source")
+
+  test("exact dedup finds the planted exact pair, keeps min id") {
+    val g = Dedup.exactGroups(docsDf, "doc_id", "text")
+      .where(col("cnt") > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getLong(1) == 2 && g.head.getLong(2) == 200L)
+  }
+
+  test("minhash LSH finds planted near-dups, no false positives at 0.5") {
+    val pairs = Dedup.minhashPairs(docsDf, "doc_id", "text",
+        shingleLen = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"missed planted near-dup: $pairs")
+    assert(pairs.contains((100L, 102L)), s"missed planted near-dup: $pairs")
+    assert(pairs.contains((200L, 201L)), s"missed exact dup: $pairs")
+    // the 20 random docs must not pair with each other
+    assert(!pairs.exists { case (a, b) => a < 100 && b < 100 },
+      s"false positive among random docs: $pairs")
+  }
+
+  test("simhash: hamming(near-dups) small, hamming(random) large; pairs complete") {
+    val sigs = docsDf
+      .select(col("doc_id"), Text.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(sigs(200L) == sigs(201L), "identical text -> identical simhash")
+    assert(ham(100L, 101L) <= 10, s"near-dup hamming ${ham(100L, 101L)}")
+    // candidate join with radius 3 must find exactly the pairs the
+    // brute-force hamming check finds
+    val got = Dedup.simhashPairs(docsDf, "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b && ham(a, b) <= 3
+    } yield (a, b)).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("jaccard pairs: integer counts match plain-Scala set math") {
+    val got = Dedup.jaccardPairsWithin(docsDf, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val byId = docs.map(d => d._1 -> d._2.toLowerCase.split("\\s+").toSet).toMap
+    val bySrc = docs.groupBy(_._3)
+    bySrc.values.foreach { grp =>
+      for (a <- grp; b <- grp if a._1 < b._1) {
+        val (i, u) = (
+          byId(a._1).intersect(byId(b._1)).size.toLong,
+          byId(a._1).union(byId(b._1)).size.toLong,
+        )
+        assert(got((a._1, b._1)) == ((i, u)), s"pair ${(a._1, b._1)}")
+      }
+    }
+  }
+
+  test("lang guess picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of a to house"),
+      (2L, "der hund und die katze das ein haus"),
+      (3L, "le chat et la maison les un chien"),
+      (4L, "xyzzy plugh qwerty"),
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Text.langGuess(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "unknown"))
+  }
+
+  test("fingerprint is order- and multiplicity-insensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha alpha"),
+      (3L, "alpha beta delta"),
+    ).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), Text.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  /** deterministic pseudo-embeddings: 3 clusters + planted neighbor. */
+  private lazy val vecs: Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(11)
+    (0L until 60L).map { i =>
+      val centre = (i % 3).toInt
+      val v = Array.tabulate(16) { d =>
+        (if (d % 3 == centre) 1.0f else 0.0f) + (r.nextFloat() - 0.5f) * 0.2f
+      }
+      (i, v)
+    }
+  }
+
+  test("brute-force cosine top-k: neighbors come from the same cluster") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity
+      .bruteForceTopK(df, df.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .collect()
+    assert(got.length == 15)
+    got.foreach { r =>
+      assert(r.getLong(0) % 3 == r.getLong(1) % 3,
+        s"query ${r.getLong(0)} got cross-cluster neighbor ${r.getLong(1)}")
+    }
+  }
+
+  test("LSH ANN: recall >= 0.8 vs brute force on clustered vectors") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 6)
+    def pairs(x: Array[org.apache.spark.sql.Row]) =
+      x.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity
+      .bruteForceTopK(df, q, "vec_id", "embedding", 5).collect())
+    val approx = pairs(Similarity
+      .lshTopK(df, q, "vec_id", "embedding", 5, bandBits = 4).collect())
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("multimodal plumbing: deterministic fake decode, exact features") {
+    val media = Multimodal.fromText(
+      Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", "image")
+    val feats = Multimodal.extractFeatures(media, FakeDecoder, frameStride = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    val f1 = feats(1L)
+    assert(f1.num_bytes == 10 && f1.width == 3 && f1.height == 3)
+    assert(f1.frames_sampled == 2) // rows 0 and 2 of a 3-row raster
+    assert(f1.brightness_histogram.sum == 6) // 2 sampled rows x width 3
+    // 'a'..'f' are 0x61..0x66 -> all in bin 6
+    assert(f1.brightness_histogram(6) == 6)
+    assert(feats(2L).num_bytes == 0)
+  }
+
+  test("generic cooccurrence operator: capped, weighted, oriented") {
+    val rel = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L))
+      .toDF("grp", "item")
+    val e = EdgeBuilder.cooccurrence(rel, "grp", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(e == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+}
