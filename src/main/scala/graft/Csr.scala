@@ -66,6 +66,9 @@ object Csr {
           else lit(1.0) / col("deg")
         edges.join(totals, "src").select(col("src"), col("dst"), norm.as("w"))
     }
+    // uniform modes: every edge of a vertex has the same weight — store
+    // one scalar instead of an array (halves scatter bandwidth)
+    val uniform = mode == NormUniform || mode == One
     withW
       .repartition(numPartitions, col("src"))
       .sortWithinPartitions("src", "dst")
@@ -73,23 +76,36 @@ object Csr {
         val out = ArrayBuffer.empty[AdjBlock]
         var cur = Long.MinValue
         var salt = 0
+        var uw = 0.0
         var ds = new ArrayBuffer[Long](256)
         var ws = new ArrayBuffer[Double](256)
         def flush(): Unit = if (ds.nonEmpty) {
-          out += AdjBlock(cur, salt, ds.toArray, ws.toArray)
+          out += AdjBlock(
+            cur, salt, ds.toArray,
+            if (uniform) Array.emptyDoubleArray else ws.toArray,
+            if (uniform) uw else 0.0,
+          )
           ds = new ArrayBuffer[Long](256)
-          ws = new ArrayBuffer[Double](256)
+          if (!uniform) ws = new ArrayBuffer[Double](256)
         }
         rows.foreach { r =>
           val s = r.getLong(0)
           if (s != cur) { flush(); cur = s; salt = 0 }
           else if (ds.length >= maxDegPerBlock) { flush(); salt += 1 }
           ds += r.getLong(1)
-          ws += r.getDouble(2)
+          if (uniform) uw = r.getDouble(2) else ws += r.getDouble(2)
         }
         flush()
         out.iterator
       }
+      // mapPartitions erases partitioning metadata (new output attrs), so
+      // re-establish the contract once at build time; every subsequent
+      // scatter join against vertex state is then exchange-free. The
+      // partition-local sort is also done once: the persisted blocks then
+      // carry outputOrdering(src), so each superstep's sort-merge join
+      // re-sorts only the small state side, never the adjacency.
+      .repartition(numPartitions, col("src"))
+      .sortWithinPartitions("src")
   }
 
   /** Total adjacency entries — the |E| used for edges-traversed/sec. */
@@ -102,12 +118,16 @@ object Csr {
     adj
       .select(
         col("src"),
-        explode(arrays_zip(col("dsts"), col("weights"))).as("e"),
+        col("weights"),
+        col("uweight"),
+        posexplode(col("dsts")).as(Seq("pos", "dst")),
       )
       .select(
         col("src"),
-        col("e.dsts").as("dst"),
-        col("e.weights").as("weight"),
+        col("dst"),
+        when(size(col("weights")) > 0, element_at(col("weights"), col("pos") + 1))
+          .otherwise(col("uweight"))
+          .as("weight"),
       )
       .as[Edge]
   }

@@ -22,6 +22,7 @@ object DevProbe {
     val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    if (mode == "explain") { explainSuperstep(spark); spark.stop(); return }
     val r = new scala.util.Random(42)
     val g = (1 to 4000)
       .map(_ => ((math.pow(r.nextDouble(), 2.5) * 1000).toLong,
@@ -37,5 +38,41 @@ object DevProbe {
     res.perIter.foreach(m =>
       println(f"  iter ${m.iter}%2d  ${m.seconds}%6.2fs  delta=${m.delta}%.3e"))
     spark.stop()
+  }
+
+  /** Print the physical plan of one PageRank superstep — the design claim
+    * is: ONE exchange total (the message aggregation); the adj⋈state and
+    * state⋈msgs joins must be exchange-free (co-partitioned).
+    */
+  private def explainSuperstep(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val r = new scala.util.Random(42)
+    val g = (1 to 4000)
+      .map(_ => ((math.pow(r.nextDouble(), 2.5) * 1000).toLong,
+        (math.pow(r.nextDouble(), 2.5) * 1000).toLong))
+      .filter { case (a, c) => a != c }.distinct
+      .map { case (a, c) => Edge(a, c, 1.0) }
+    val edges = spark.createDataset(g)
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val adj = Csr.build(edges, p).localCheckpoint(true)
+    val state = Superstep.vertices(edges)
+      .select(col("vid"), lit(false).as("dangling"), lit(0.001).as("rank"))
+      .localCheckpoint(true)
+    val msgs = state.join(adj, state("vid") === adj("src"))
+      .select(col("rank"),
+        explode(arrays_zip(col("dsts"), col("weights"))).as("e"))
+      .select(col("e.dsts").as("vid"), (col("rank") * col("e.weights")).as("m"))
+      .groupBy("vid").agg(sum("m").as("msg"))
+    val next = state.join(msgs, Seq("vid"), "left_outer")
+      .select(col("vid"), col("dangling"),
+        (lit(0.1) + coalesce(col("msg"), lit(0.0))).as("rank"))
+    println("=== ONE SUPERSTEP PLAN ===")
+    next.explain("formatted")
+    val plan = next.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    println(s"EXCHANGES IN PLAN: $exchanges")
   }
 }

@@ -23,17 +23,51 @@ import graft.algos.PageRank
   * Fixed iteration count (tol=0) so both levels do identical work.
   */
 object ScalingBench {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val args = rawArgs.filter(_.nonEmpty)
     val cores = args(0).toInt
     val nRows = if (args.length > 1) args(1).toLong else 4000000L
     val iters = if (args.length > 2) args(2).toInt else 10
+    val salted = args.length > 3 && args(3) == "salted"
+    val maxDeg = if (args.length > 4) args(4).toInt else 1 << 16
+    // shuffle partitions FIXED across parallelism levels: the scaling
+    // experiment varies only the executor thread count over an identical
+    // job (same data layout, same task boundaries) — the N vs 4N
+    // executors analogue. P-dependent work (message partials are emitted
+    // once per task) would otherwise conflate the comparison.
+    val partitions = sys.env.getOrElse("GRAFT_PARTITIONS", cores.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // task-time accounting: utilization = Σ task time / (wall × cores)
+    // separates serial/driver overhead (low util) from skew (high max task)
+    val busyMs = new java.util.concurrent.atomic.AtomicLong
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = t.taskInfo.duration
+          busyMs.addAndGet(d)
+          maxTaskMs.updateAndGet(m => math.max(m, d))
+          nTasks.incrementAndGet()
+          if (t.taskMetrics != null) {
+            gcMs.addAndGet(t.taskMetrics.jvmGCTime)
+            shufWrite.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+          }
+          ()
+        }
+      }
+    )
     import spark.implicits._
     val src = Synth.sourceTable(spark, nRows)
     val edges = EdgeBuilder.edges(src)
@@ -41,9 +75,15 @@ object ScalingBench {
       .as[Edge]
     // materialize edges once so PageRank timing excludes the build
     val cached = edges.localCheckpoint(true)
-    val res = PageRank.run(cached, PrConfig(tol = 0.0, maxIter = iters))
+    cached.count()
+    val res = PageRank.run(cached, PrConfig(tol = 0.0, maxIter = iters),
+      salted = salted, maxDegPerBlock = maxDeg,
+      onLoopStart = () => {
+        busyMs.set(0); maxTaskMs.set(0); nTasks.set(0)
+        gcMs.set(0); shufWrite.set(0); cpuNs.set(0)
+      })
     println(
-      s"""{"bench":"scaling","cores":$cores,"rows":$nRows,"edges":${res.edgeCount},"iters":${res.iterations},"seconds":${res.wallSeconds},"edges_per_sec":${res.edgesPerSec}}"""
+      s"""{"bench":"scaling","cores":$cores,"rows":$nRows,"salted":$salted,"maxDeg":$maxDeg,"edges":${res.edgeCount},"iters":${res.iterations},"seconds":${res.wallSeconds},"edges_per_sec":${res.edgesPerSec},"busy_sec":${busyMs.get / 1000.0},"util":${busyMs.get / 1000.0 / (res.wallSeconds * cores)},"max_task_sec":${maxTaskMs.get / 1000.0},"tasks":${nTasks.get},"gc_sec":${gcMs.get / 1000.0},"cpu_sec":${cpuNs.get / 1e9},"shuffle_mb":${shufWrite.get / 1048576}}"""
     )
     spark.stop()
   }

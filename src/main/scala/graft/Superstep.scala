@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Superstep {
 
+  /** Run `body` with adaptive query execution disabled, restoring the
+    * previous setting afterwards. Supersteps are fixed-shape jobs where
+    * AQE hurts: its plan wrapper reports UnknownPartitioning, so every
+    * `localCheckpoint` would forget the hash-partitioning contract and
+    * reintroduce a state exchange per superstep. Skew is handled
+    * explicitly (hub salting + map-side partial aggregation), which is
+    * what AQE's skew-join would otherwise backstop.
+    */
+  def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body
+    finally spark.conf.set(key, prev)
+  }
+
   /** Distinct vertex ids of an edge table, hash-partitioned by vid. */
   def vertices(edges: Dataset[Edge]): DataFrame =
     edges.select(col("src").as("vid"))
@@ -21,18 +37,23 @@ object Superstep {
 
   /** Scatter: join per-vertex state into the adjacency and emit one row
     * per out-edge: (vid = destination, w = scatter weight, plus every
-    * state column except the join key). The caller aggregates.
+    * state column except the join key). The caller aggregates. Handles
+    * both array-weighted and uniform-weight-compressed blocks.
     */
   def scatter(adj: Dataset[AdjBlock], state: DataFrame): DataFrame = {
     val stateCols =
       state.columns.filter(_ != "vid").map(c => col(c)).toSeq
     state.join(adj, state("vid") === adj("src"))
       .select(
-        explode(arrays_zip(col("dsts"), col("weights"))).as("e") +:
-          stateCols: _*
+        col("weights") +: col("uweight") +:
+          posexplode(col("dsts")).as(Seq("pos", "nvid")) +: stateCols: _*
       )
       .select(
-        col("e.dsts").as("vid") +: col("e.weights").as("w") +: stateCols: _*
+        col("nvid").as("vid") +:
+          when(
+            size(col("weights")) > 0,
+            element_at(col("weights"), col("pos") + 1),
+          ).otherwise(col("uweight")).as("w") +: stateCols: _*
       )
   }
 }

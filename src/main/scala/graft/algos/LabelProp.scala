@@ -29,7 +29,7 @@ object LabelProp {
   def run(
       edges: Dataset[Edge],
       cfg: LpConfig = LpConfig(),
-  ): Dataset[LabelState] = {
+  ): Dataset[LabelState] = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt

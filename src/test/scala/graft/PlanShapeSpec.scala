@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the properties that make the engine
+  * viable at 10^12-file scale are plan shapes, not just results — pin
+  * them so a refactor can't silently reintroduce a shuffle.
+  */
+class PlanShapeSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("one superstep = exactly one exchange (the message aggregation)") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    ) {
+      val edges = edgeDs(Fixtures.powerlaw1k)
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val adj = Csr.build(edges, p).localCheckpoint(true)
+      val state = Superstep.vertices(edges)
+        .select(col("vid"), lit(false).as("dangling"), lit(0.001).as("rank"))
+        .localCheckpoint(true)
+      val msgs = state.join(adj, state("vid") === adj("src"))
+        .select(col("rank"),
+          explode(arrays_zip(col("dsts"), col("weights"))).as("e"))
+        .select(col("e.dsts").as("vid"),
+          (col("rank") * col("e.weights")).as("m"))
+        .groupBy("vid").agg(sum("m").as("msg"))
+      val next = state.join(msgs, Seq("vid"), "left_outer")
+        .select(col("vid"), col("dangling"),
+          (lit(0.1) + coalesce(col("msg"), lit(0.0))).as("rank"))
+      val plan = next.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    }
+  }
+
+  test("edge-build scan never reads content (column pruning to the scan)") {
+    val src = spark.createDataset(
+      (0L until 50L).map(Synth.rowAt(_, 50L)))
+    val plan =
+      EdgeBuilder.edges(src).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("content"))
+  }
+
+  test("adjacency blocks carry the partitioning contract after persist") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val edges = edgeDs(Fixtures.twoCliquesBridge)
+      val adj = Csr.build(edges, 8).persist()
+      adj.count()
+      val part = adj.queryExecution.executedPlan.outputPartitioning.toString
+      adj.unpersist()
+      assert(part.contains("hashpartitioning") && part.contains("src"),
+        s"adjacency lost its partitioning: $part")
+    }
+  }
+
+  test("orderBy+limit fuses to TakeOrderedAndProject (no full sort)") {
+    val df = spark.range(1000).toDF("v")
+      .orderBy(col("v").desc).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
