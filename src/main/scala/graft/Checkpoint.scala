@@ -43,6 +43,12 @@ final class ParquetSnapshotStore(root: String, runId: String)
   private def fs(spark: SparkSession) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def dataDirFor(base: Path, iteration: Int, attempt: Int): Path =
+    new Path(
+      base,
+      if (attempt == 0) s"iter-$iteration" else s"iter-$iteration-a$attempt",
+    )
+
   override def write(
       iteration: Int,
       state: DataFrame,
@@ -51,10 +57,18 @@ final class ParquetSnapshotStore(root: String, runId: String)
     val spark = state.sparkSession
     val f = fs(spark)
     val base = new Path(s"$root/$runId")
-    val tmp = new Path(base, s".tmp-iter-$iteration")
-    val dataDir = new Path(base, s"iter-$iteration")
+    // each attempt writes a UNIQUE data dir: an existing manifest for this
+    // iteration keeps pointing at intact data until the new manifest is
+    // renamed in (the manifest swap is the only commit point) — a crash
+    // anywhere in this method never leaves latest() referencing missing
+    // or partial data. Superseded attempt dirs are deleted only AFTER the
+    // manifest commit.
+    val attempt = Iterator.from(0)
+      .find(a => !f.exists(dataDirFor(base, iteration, a)))
+      .get
+    val dataDir = dataDirFor(base, iteration, attempt)
+    val tmp = new Path(base, s".tmp-${dataDir.getName}")
     state.write.mode("overwrite").parquet(tmp.toString)
-    if (f.exists(dataDir)) f.delete(dataDir, true)
     require(f.rename(tmp, dataDir), s"rename failed: $tmp -> $dataDir")
     val files = f
       .listStatus(dataDir)
@@ -82,6 +96,8 @@ final class ParquetSnapshotStore(root: String, runId: String)
     val mFinal = new Path(base, f"manifest-$iteration%08d.json")
     if (f.exists(mFinal)) f.delete(mFinal, false)
     require(f.rename(mTmp, mFinal), s"rename failed: $mTmp -> $mFinal")
+    // committed — earlier attempts of this iteration are now unreferenced
+    (0 until attempt).foreach(a => f.delete(dataDirFor(base, iteration, a), true))
     snap
   }
 

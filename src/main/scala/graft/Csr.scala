@@ -108,9 +108,11 @@ object Csr {
       .sortWithinPartitions("src")
   }
 
-  /** Total adjacency entries — the |E| used for edges-traversed/sec. */
+  /** Total adjacency entries — the |E| used for edges-traversed/sec.
+    * (sum over an empty dataset is NULL — coalesce, don't NPE.)
+    */
   def edgeCount(adj: Dataset[AdjBlock]): Long =
-    adj.select(sum(size(col("dsts")))).head().getLong(0)
+    adj.select(coalesce(sum(size(col("dsts"))), lit(0L))).head().getLong(0)
 
   /** Unpack blocks back to a normalized edge list (round-trip tests). */
   def unpack(adj: Dataset[AdjBlock]): Dataset[Edge] = {

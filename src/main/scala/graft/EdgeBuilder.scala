@@ -103,6 +103,10 @@ object EdgeBuilder {
   /** Build the weighted, canonically-oriented (src < dst) edge table. */
   def edges(src: Dataset[SourceFile], cfg: EdgeConfig = EdgeConfig())
       : Dataset[Edge] = {
+    require(
+      cfg.byCommit || cfg.byPath,
+      "EdgeConfig must enable at least one grouping (byCommit and/or byPath)",
+    )
     import src.sparkSession.implicits._
     val base = src.select(
       col("commit"),

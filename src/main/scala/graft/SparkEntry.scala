@@ -83,16 +83,24 @@ object SparkEntry {
     },
     "q_tri_pervertex" -> ((s, d) =>
       Triangles.run(partEdgeDs(s, d)).perVertex),
+    // ranks are rounded to 7 decimals THROUGH A DECIMAL STRING on both
+    // sides (format_string / printf are both correctly-rounded, and no
+    // float64 lands exactly on a half-way point at 7 decimals): raw
+    // float64 ranks differ across engines in the last ulps (shuffle
+    // reduction order), which would break the driver's hash compare
     "q_pagerank_top20" -> { (s, d) =>
       PageRank
         .run(partEdgeDs(s, d), PrConfig(tol = 0.0, maxIter = 8))
         .ranks.toDF()
+        .select(
+          col("vid"),
+          format_string("%.7f", col("rank")).cast("double").as("rank"),
+        )
         .orderBy(col("rank").desc, col("vid"))
         .limit(20)
-        .select(col("vid"), col("rank"))
     },
     "q_wcc_sizes" -> { (s, d) =>
-      Wcc.run(partEdgeDs(s, d)).toDF()
+      Wcc.run(partEdgeDs(s, d)).comps.toDF()
         .groupBy("comp").agg(count(lit(1)).as("cnt"))
     },
     "q_labelprop_sizes" -> { (s, d) =>
@@ -212,7 +220,25 @@ object SparkEntry {
         k = 5,
       )
     },
-    // ---- non-SQL-expressible (xxhash64 sketches, LSH, media) —
+    // the FakeDecoder is deterministic (dims from byte length, "pixels"
+    // = utf8 bytes), so the whole media pipeline is DuckDB-expressible:
+    // the histogram is serialized to a CSV string (the driver's pandas
+    // row-compare cannot hash an array cell)
+    "q_media_features" -> { (s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.fromText(t(s, d, "documents"), "doc_id", "text", "image")
+      ).toDF()
+        .select(
+          col("media_id"),
+          col("kind"),
+          col("num_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          concat_ws(",", col("brightness_histogram")).as("hist"),
+          col("frames_sampled").cast("long").as("frames_sampled"),
+        )
+    },
+    // ---- non-SQL-expressible (xxhash64 sketches, LSH) —
     //      rows-only driver check; correctness via scalatest oracles ----
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
@@ -232,22 +258,52 @@ object SparkEntry {
         bandBits = 4,
       )
     },
-    "q_media_features" -> { (s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.fromText(t(s, d, "documents"), "doc_id", "text", "image")
-      ).toDF()
-    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = {
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference; the unrolled
+    // iterative oracles below reference each CTE 2-3x per iteration,
+    // which goes exponential over 8 chained iterations without it
     val edgesCte =
       """m AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS vid FROM lineitem),
-        |e AS (SELECT a.vid AS src, b.vid AS dst, count(*) AS weight
+        |e AS MATERIALIZED (SELECT a.vid AS src, b.vid AS dst, count(*) AS weight
         |      FROM m a JOIN m b ON a.grp = b.grp AND a.vid < b.vid
         |      GROUP BY 1, 2)""".stripMargin
+    // one synchronous weighted LP superstep: per-vertex argmax of summed
+    // neighbor-label weights, ties to the smallest label, vertices with
+    // no messages keep their label — mirrors LabelProp.run exactly
+    def lpIter(prev: String): String =
+      s"""MATERIALIZED (
+         |  SELECT v.vid, coalesce(w.newlabel, v.label) AS label
+         |  FROM $prev v LEFT JOIN (
+         |    SELECT vid, newlabel FROM (
+         |      SELECT n.dst AS vid, s.label AS newlabel, sum(n.weight) AS cnt,
+         |             row_number() OVER (PARTITION BY n.dst
+         |               ORDER BY sum(n.weight) DESC, s.label) AS rn
+         |      FROM sym n JOIN $prev s ON n.src = s.vid
+         |      GROUP BY n.dst, s.label
+         |    ) WHERE rn = 1
+         |  ) w ON v.vid = w.vid
+         |)""".stripMargin
+    // one PageRank superstep: out-normalized uniform scatter + dangling
+    // mass redistribution + teleport — mirrors PageRank.run exactly
+    def prIter(prev: String): String =
+      s"""MATERIALIZED (
+         |  SELECT v.vid, v.outdeg,
+         |    (1-0.85)/(SELECT n FROM nn) + 0.85 * (coalesce(msg.m, 0)
+         |      + (SELECT coalesce(sum(rank),0) FROM $prev WHERE outdeg IS NULL)
+         |        /(SELECT n FROM nn)) AS rank
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS vid, sum(r.rank / r.outdeg) AS m
+         |    FROM e JOIN $prev r ON e.src = r.vid GROUP BY 1
+         |  ) msg ON v.vid = msg.vid
+         |)""".stripMargin
+    val prChain = (1 to 8)
+      .map(i => s"r$i AS ${prIter(s"r${i - 1}")}")
+      .mkString(",\n")
     val degreesSql =
       s"""WITH $edgesCte,
          |u AS (SELECT src AS vid, weight FROM e
@@ -267,6 +323,41 @@ object SparkEntry {
            |SELECT count(*) AS triangles
            |FROM e e1 JOIN e e2 ON e1.dst = e2.src
            |JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+      "q_wcc_sizes" ->
+        s"""WITH RECURSIVE $edgesCte,
+           |sym AS (SELECT src, dst FROM e
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e),
+           |verts AS (SELECT DISTINCT src AS vid FROM sym),
+           |reach AS (
+           |  SELECT vid, vid AS comp FROM verts
+           |  UNION
+           |  SELECT s.dst AS vid, r.comp FROM reach r JOIN sym s ON r.vid = s.src
+           |),
+           |comps AS (SELECT vid, min(comp) AS comp FROM reach GROUP BY 1)
+           |SELECT comp, count(*) AS cnt FROM comps GROUP BY 1""".stripMargin,
+      "q_labelprop_sizes" ->
+        s"""WITH $edgesCte,
+           |sym AS MATERIALIZED (SELECT src, dst, weight FROM e
+           |        UNION ALL SELECT dst AS src, src AS dst, weight FROM e),
+           |verts AS (SELECT DISTINCT src AS vid FROM sym),
+           |s0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts),
+           |s1 AS ${lpIter("s0")},
+           |s2 AS ${lpIter("s1")},
+           |s3 AS ${lpIter("s2")}
+           |SELECT label, count(*) AS cnt FROM s3 GROUP BY 1""".stripMargin,
+      "q_pagerank_top20" ->
+        s"""WITH $edgesCte,
+           |deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1),
+           |verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+           |v AS (SELECT verts.vid, deg.outdeg FROM verts LEFT JOIN deg USING (vid)),
+           |nn AS (SELECT count(*) AS n FROM verts),
+           |r0 AS MATERIALIZED (
+           |  SELECT vid, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM v),
+           |$prChain
+           |SELECT vid, CAST(printf('%.7f', rank) AS DOUBLE) AS rank
+           |FROM r8
+           |ORDER BY CAST(printf('%.7f', rank) AS DOUBLE) DESC, vid
+           |LIMIT 20""".stripMargin,
       "q_tri_pervertex" ->
         s"""WITH $edgesCte,
            |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
@@ -355,16 +446,49 @@ object SparkEntry {
           |  CAST(len(a.toks) + len(b.toks)
           |    - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_cnt
           |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+      // sims are rounded to 6 decimals on BOTH sides before ranking:
+      // raw float64 cosines differ in the last ulp across engines
+      // (reduction order), which near a tie would flip row_number ranks
       "q_ann_cosine" ->
         """SELECT query_id, neighbor_id, rnk FROM (
           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           |    CAST(row_number() OVER (PARTITION BY q.vec_id
-          |      ORDER BY list_cosine_similarity(
+          |      ORDER BY round(list_cosine_similarity(
           |        CAST(q.embedding AS DOUBLE[]),
-          |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT) AS rnk
+          |        CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS BIGINT) AS rnk
           |  FROM embeddings q JOIN embeddings c
           |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id
           |) WHERE rnk <= 5""".stripMargin,
+      // mirrors Multimodal.FakeDecoder + extractFeatures(frameStride=4)
+      // exactly: bytes = utf8(text) (ASCII in this corpus, so ord() =
+      // byte), w = max(1, trunc(sqrt(nb))), h = max(1, nb/w), histogram
+      // over every 4th raster row, 16 bins of (byte >> 4)
+      "q_media_features" ->
+        """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nb
+          |           FROM documents),
+          |dims AS (SELECT doc_id, text, nb,
+          |  greatest(1, CAST(trunc(sqrt(CAST(nb AS DOUBLE))) AS BIGINT)) AS w FROM d),
+          |dims2 AS (SELECT doc_id, text, nb, w, greatest(1, nb // w) AS h FROM dims),
+          |rws AS (SELECT doc_id, text, nb, w,
+          |        unnest(range(0, h, 4)) AS r FROM dims2),
+          |px AS (SELECT doc_id, text, w, r,
+          |       unnest(range(0, least(w, nb - r * w))) AS i FROM rws),
+          |counts AS (
+          |  SELECT doc_id,
+          |         ord(substr(text, CAST(r * w + i + 1 AS INT), 1)) // 16 AS bin,
+          |         count(*) AS c
+          |  FROM px GROUP BY 1, 2),
+          |bins AS (SELECT range AS bin FROM range(0, 16)),
+          |hist AS (
+          |  SELECT d.doc_id,
+          |         string_agg(CAST(coalesce(c.c, 0) AS VARCHAR), ',' ORDER BY b.bin) AS hist
+          |  FROM d CROSS JOIN bins b
+          |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = b.bin
+          |  GROUP BY 1)
+          |SELECT CAST(d.doc_id AS BIGINT) AS media_id, 'image' AS kind,
+          |  d.nb AS num_bytes, dims2.w AS width, dims2.h AS height,
+          |  hist.hist AS hist, CAST((dims2.h + 3) // 4 AS BIGINT) AS frames_sampled
+          |FROM d JOIN dims2 USING (doc_id) JOIN hist USING (doc_id)""".stripMargin,
     )
   }
 }

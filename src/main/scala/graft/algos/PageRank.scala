@@ -85,6 +85,7 @@ object PageRank {
     val adjAll = Csr.build(edges, p, mode, maxDegPerBlock)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCnt = Csr.edgeCount(adjAll) // also materializes the cache
+    require(edgeCnt > 0, "PageRank needs a non-empty edge table")
     // Salted skew handling (J8): split the adjacency ONCE. Hub vertices
     // (out-degree > maxDegPerBlock, i.e. salt > 0 exists) get their chunk
     // rows spread across ALL partitions by (src, salt); everyone else
@@ -101,7 +102,16 @@ object PageRank {
       else None
     val (adj, hubAdj) = hubSrcs match {
       case Some(h) =>
-        h.count()
+        // the per-superstep hub-state broadcast assumes "a handful of
+        // rows"; check it instead of assuming it — a maxDegPerBlock far
+        // below the degree distribution would silently broadcast millions
+        val hubCnt = h.count()
+        require(
+          hubCnt <= 4L * 1000 * 1000,
+          s"salted mode found $hubCnt hub vertices (deg > $maxDegPerBlock)" +
+            " — too many for a per-superstep broadcast; raise maxDegPerBlock",
+        )
+        if (debug) println(s"[pagerank] salted: $hubCnt hub vertices")
         val normal = adjAll
           .join(broadcast(h), adjAll("src") === h("src"), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)

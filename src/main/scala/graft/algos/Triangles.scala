@@ -87,11 +87,19 @@ object Triangles {
       )
       .unionByName(tri.select(explode(col("ws")).as("vid"), lit(1L).as("c")))
       .groupBy("vid").agg(sum("c").as("c"))
-    // vertices in no triangle get an explicit 0
+    // vertices in no triangle get an explicit 0. Materialize eagerly
+    // (localCheckpoint) BEFORE releasing the caches: perVertex still
+    // depends on deg → und and on tri, so unpersisting first would force
+    // a full recompute when the caller finally acts on it — and the
+    // intermediate caches must not outlive the call (round-1 leak).
     val perVertex = deg.select(col("vid"))
       .join(corners, Seq("vid"), "left_outer")
       .select(col("vid"), coalesce(col("c"), lit(0L)).as("triangles"))
+      .localCheckpoint(true)
     und.unpersist(false)
+    oriented.unpersist(false)
+    adj.unpersist(false)
+    tri.unpersist(false)
     TriResult(global, perVertex)
   }
 }

@@ -1,30 +1,62 @@
 package graft.algos
 
 import graft._
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Weakly-connected components by minimum-label propagation (B2,
-  * BASELINE.json:6,14).
+final case class WccResult(comps: Dataset[CompState], iterations: Int)
+
+/** Weakly-connected components (B2, BASELINE.json:6,14).
   *
   * Component id = the minimum vertex id reachable in the undirected graph.
   * Min is commutative/associative/idempotent, so the result is independent
   * of partitioning and reduction order — which is what makes the EXACT
-  * match contract achievable (SURVEY §7.4.2). Converges in O(diameter)
-  * supersteps; each superstep is the standard exchange-free adj⋈state join
-  * plus one min-aggregation shuffle. For pathological diameters at the
-  * 10^12 design scale the documented upgrade is the two-phase
-  * large-star/small-star algorithm (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond"), which this API can swap in without changing
-  * the contract.
+  * match contract achievable (SURVEY §7.4.2).
+  *
+  * Two convergence modes:
+  *   - `pointerJump = false`: plain min-label propagation — one message
+  *     shuffle per round, O(diameter) rounds. The obviously-correct
+  *     baseline and the cross-check for the accelerated path.
+  *   - `pointerJump = true` (default): min-label + per-round pointer
+  *     jumping, comp'(v) = comp(comp(v)) — the HashToMin-style doubling
+  *     (Rastogi et al., "Finding Connected Components in MapReduce")
+  *     that converges in O(log n) rounds on ANY diameter. Chosen over
+  *     Kiveris large-star/small-star because it reuses the engine's CSR
+  *     adjacency and one-shuffle message reduce unchanged (large/small-star
+  *     rewrites the edge multiset every round — an extra full-edge shuffle
+  *     per round), with the same O(log n) round bound.
+  *
+  * Pointer-jump skew/scale shape: the jump lookup is restricted to the
+  * CURRENT COMP IMAGE (distinct comp values, monotonically shrinking). In
+  * the endgame — exactly when components collapse and the comp key becomes
+  * skewed — the image is small, so the lookup is BROADCAST and the jump
+  * costs no shuffle at all; the broadcast decision uses the previous
+  * round's `approx_count_distinct(comp)` (free, rides the same action as
+  * the convergence count). Early rounds have a near-uniform comp image,
+  * so the fallback shuffle join is balanced.
+  *
+  * Correctness of the jump: comp only decreases and stays within the
+  * component's vid set; at a fixpoint comp is edge-constant (= component-
+  * constant) and the constant c satisfies comp(c) = c with c ≤ min (values
+  * never leave the component) and c ≥ min (comp(min) ≤ min can only be
+  * min) — so c IS the component minimum, same contract as min-label.
+  *
+  * Resumable (north_star: "all runs are resumable"): pass a
+  * [[SnapshotStore]]; every `checkpointEvery` rounds (and at convergence)
+  * the (vid, comp) state is snapshotted with round metrics, and a fresh
+  * run resumes from the latest manifest.
   */
 object Wcc {
 
   def run(
       edges: Dataset[Edge],
       maxIter: Int = 200,
-  ): Dataset[CompState] = Superstep.withAqeOff(edges.sparkSession) {
+      store: Option[SnapshotStore] = None,
+      pointerJump: Boolean = true,
+      checkpointEvery: Int = 8,
+      broadcastJumpMax: Long = 1L << 20,
+  ): WccResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -33,29 +65,86 @@ object Wcc {
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
 
-    // lineage truncated every superstep — see PageRank for the rationale
-    var state = Superstep.vertices(sym)
-      .select(col("vid"), col("vid").as("comp"))
-      .localCheckpoint(true)
-    var iter = 0
+    val resumed = store.flatMap(_.latest(spark))
+    var iter = resumed.map(_._1.iteration).getOrElse(0)
+    val startIter = iter
+    // lineage truncated every superstep — see PageRank for the rationale.
+    // The (vid, vid AS comp) projection goes AFTER the checkpoint: of the
+    // alias-induced PartitioningCollection, localCheckpoint keeps only the
+    // first element (hash(comp)) — see LabelProp.
+    var state: DataFrame = resumed match {
+      case Some((_, df)) =>
+        df.repartition(p, col("vid")).localCheckpoint(true)
+      case None =>
+        Superstep.vertices(sym).localCheckpoint(true)
+          .select(col("vid"), col("vid").as("comp"))
+    }
     var changed = 1L
+    var img = Long.MaxValue // comp-image size upper bound (prev round)
     while (iter < maxIter && changed > 0) {
+      val t0 = System.nanoTime()
       val msgs = Superstep.scatter(adj, state)
         .groupBy("vid").agg(min("comp").as("mc"))
-      val next = state.join(msgs, Seq("vid"), "left_outer")
+      val half = state.join(msgs, Seq("vid"), "left_outer")
         .select(
           col("vid"),
           least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"),
-          (coalesce(col("mc"), col("comp")) < col("comp")).as("changed"),
+          col("comp").as("oldComp"),
+        )
+      val next = if (!pointerJump) half
+      else {
+        // half feeds the jump twice (probe + lookup): materialize once
+        val h = half.localCheckpoint(true)
+        val imgDf = h.select(col("comp")).distinct()
+          .withColumnRenamed("comp", "vid")
+        // lookup: comp(c) for c in the comp image, non-root rows only
+        val lookup = h.select(col("vid"), col("comp"))
+          .join(imgDf, Seq("vid"), "left_semi")
+          .where(col("comp") =!= col("vid"))
+          .select(col("vid").as("cv"), col("comp").as("cc"))
+        val looked =
+          if (img <= broadcastJumpMax) broadcast(lookup) else lookup
+        h.join(looked, h("comp") === col("cv"), "left_outer")
+          .select(
+            h("vid"),
+            coalesce(col("cc"), h("comp")).as("comp"),
+            col("oldComp"),
+          )
+      }
+      val mat = next
+        .select(
+          col("vid"),
+          col("comp"),
+          (col("comp") < col("oldComp")).as("changed"),
         )
         .localCheckpoint(true)
-      changed = next
-        .agg(sum(when(col("changed"), 1L).otherwise(0L))).head().getLong(0)
-      state = next.drop("changed")
+      val stats = mat.agg(
+        coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)),
+        approx_count_distinct(col("comp")),
+      ).head()
+      changed = stats.getLong(0)
+      // approx (~2% rsd) is plenty for a broadcast-threshold decision;
+      // 2x slack below keeps the decision safe against the estimate error
+      img = (stats.getLong(1) * 2) min Long.MaxValue
+      state = mat.drop("changed")
       iter += 1
+      val secs = (System.nanoTime() - t0) / 1e9
+      val converged = changed == 0 || iter >= maxIter
+      if (iter % checkpointEvery == 0 || converged) store.foreach { s =>
+        s.write(
+          iter,
+          state,
+          Map(
+            "changed" -> changed.toDouble,
+            "compImageApprox" -> stats.getLong(1).toDouble,
+            "seconds" -> secs,
+            "numPartitions" -> p.toDouble,
+          ),
+        )
+      }
     }
     val out = state.select(col("vid"), col("comp")).as[CompState]
     adj.unpersist(false)
-    out
+    WccResult(out, iter - startIter)
   }
 }

@@ -78,6 +78,7 @@ final case class LpConfig(
     iterations: Int = 5,
     weighted: Boolean = true,
     symmetrize: Boolean = true,
+    checkpointEvery: Int = 8,
 )
 
 /** Edge-builder configuration (SURVEY.md §2.A J2).

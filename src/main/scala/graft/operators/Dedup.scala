@@ -26,12 +26,36 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
       )
 
-  /** MinHash+LSH near-duplicate candidate pairs.
+  /** (rowsPerBand, bands) for a target Jaccard threshold: the LARGEST r
+    * (fewest false candidates) whose S-curve midpoint (1/b)^(1/r) stays at
+    * or below the threshold, with b = numHashes / r bands. Midpoint ≤ t
+    * guarantees candidate recall ≥ 1 - 1/e at j = t, climbing steeply
+    * above it; a too-large r (e.g. r=4/b=8 at t=0.3) would silently drop
+    * ~94% of threshold-grazing pairs.
+    */
+  def lshParams(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 1, "numHashes >= 1")
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val fit = (numHashes to 1 by -1).iterator
+      .map(r => (r, numHashes / r))
+      .filter { case (_, b) => b >= 1 }
+      .find { case (r, b) => math.pow(1.0 / b, 1.0 / r) <= threshold }
+    fit.getOrElse((1, numHashes)) // r=1: max recall, max candidates
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
     *
-    * shingle(n-gram) → minhash signature (numHashes) → band keys →
-    * explode → self-join on band key → distinct pairs → exact Jaccard
-    * verify on the shingle sets. Returns (id_a, id_b, jaccard) for pairs
-    * with jaccard >= threshold; id_a < id_b.
+    * shingle(n-gram) → minhash signature → band keys (banding derived
+    * from the threshold via [[lshParams]]) → explode → ids-only self-join
+    * on band key → distinct pairs → exact Jaccard verify (shingle sets
+    * re-joined per side — the wide arrays never ride the candidate
+    * shuffle). Returns (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Recall contract: the verify step makes precision exact (only pairs
+    * with jaccard >= threshold are returned), while LSH banding makes
+    * recall probabilistic: a qualifying pair is a candidate with
+    * probability 1-(1-j^r)^b — at j = threshold that is >= 1-1/e by the
+    * [[lshParams]] choice, and approaches 1 rapidly for j above it.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -39,40 +63,37 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       numHashes: Int = 32,
-      rowsPerBand: Int = 4,
       threshold: Double = 0.5,
   ): DataFrame = {
-    val withSig = docs.select(
+    val (rowsPerBand, bands) = lshParams(numHashes, threshold)
+    val sigLen = rowsPerBand * bands
+    val sh = docs.select(
       col(idCol).as("id"),
       array_distinct(Text.shingles(col(textCol), shingleLen)).as("sh"),
     )
-    val banded = withSig
-      .select(
-        col("id"),
-        col("sh"),
-        explode(
-          Text.bandKeys(
-            Text.minhashSignature(col("sh"), numHashes),
-            numHashes,
-            rowsPerBand,
-          )
-        ).as("band"),
-      )
+    val banded = sh.select(
+      col("id"),
+      explode(
+        Text.bandKeys(
+          Text.minhashSignature(col("sh"), sigLen),
+          sigLen,
+          rowsPerBand,
+        )
+      ).as("band"),
+    )
     val cand = banded.as("a")
       .join(
         banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"),
       )
-      .select(
-        col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"),
-        col("b.sh").as("sh_b"),
-      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val verified = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    cand
+    verified
       .select(
         col("id_a"),
         col("id_b"),

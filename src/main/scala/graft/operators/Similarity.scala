@@ -35,6 +35,11 @@ object Similarity {
 
   /** Exact top-k cosine neighbors of each query vector.
     *
+    * Similarities are rounded to `simDecimals` before ranking: the raw
+    * float64 cosine is reduction-order sensitive at the last ulp, so two
+    * engines can disagree on ranks near a tie. Rounding + the neighbor-id
+    * tie-break makes the rank deterministic across engines.
+    *
     * @param corpus  (idCol, vecCol: array<float>)
     * @param queries (idCol, vecCol) — small, broadcast
     * @return (query_id, neighbor_id, rnk) with rnk 1..k, ties broken by
@@ -46,6 +51,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
+      simDecimals: Int = 6,
   ): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
@@ -60,7 +66,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"),
+        round(cosine(col("qvec"), col("cvec")), simDecimals).as("sim"),
       )
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -117,6 +123,7 @@ object Similarity {
       vecCol: String,
       k: Int,
       bandBits: Int = 8,
+      simDecimals: Int = 6,
   ): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
@@ -134,7 +141,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"),
+        round(cosine(col("qvec"), col("cvec")), simDecimals).as("sim"),
       )
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))

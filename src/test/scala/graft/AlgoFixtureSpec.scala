@@ -22,9 +22,14 @@ class AlgoFixtureSpec extends GraftSuite {
       allclose(got, Oracles.pageRank(g, cfg))
     }
 
-    test(s"wcc matches oracle exactly on $name") {
-      val got = Wcc.run(edgeDs(g)).collect().map(c => c.vid -> c.comp).toMap
-      exactMatch(got, Oracles.wcc(g))
+    test(s"wcc matches oracle exactly on $name (pointer-jump + plain)") {
+      val want = Oracles.wcc(g)
+      val jumped = Wcc.run(edgeDs(g))
+        .comps.collect().map(c => c.vid -> c.comp).toMap
+      exactMatch(jumped, want)
+      val plain = Wcc.run(edgeDs(g), pointerJump = false)
+        .comps.collect().map(c => c.vid -> c.comp).toMap
+      exactMatch(plain, want)
     }
 
     test(s"label propagation matches oracle exactly on $name") {
@@ -71,8 +76,17 @@ class AlgoFixtureSpec extends GraftSuite {
   }
 
   test("wcc: twoCliquesBridge is one component, comp = min vid") {
-    val got = Wcc.run(edgeDs(Fixtures.twoCliquesBridge)).collect()
+    val got = Wcc.run(edgeDs(Fixtures.twoCliquesBridge)).comps.collect()
     assert(got.map(_.comp).distinct.toSeq == Seq(1L))
+  }
+
+  test("wcc pointer jumping: path-1024 converges in O(log n), not O(n) rounds") {
+    val path = (1L until 1024L).map(i => (i, i + 1, 1.0))
+    val res = Wcc.run(edgeDs(path), maxIter = 40)
+    assert(res.iterations <= 25,
+      s"pointer jumping took ${res.iterations} rounds on a 1024-path")
+    val got = res.comps.collect().map(c => c.vid -> c.comp).toMap
+    exactMatch(got, Oracles.wcc(path))
   }
 
   test("label propagation: twoCliquesBridge splits into 2 communities") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.algos.PageRank
+import graft.algos.{LabelProp, PageRank, Wcc}
 import graft.oracle.Oracles
 import java.nio.file.Files
 
@@ -53,6 +53,43 @@ class CheckpointSpec extends GraftSuite {
     for (k <- Seq("delta", "danglingMass", "edgesTraversed", "seconds"))
       assert(snap.metrics.contains(k), s"metric $k missing")
     assert(df.count() == 4)
+  }
+
+  test("wcc: resume continues from the snapshot and matches the oracle") {
+    // a path has enough rounds (even with pointer jumping) that a
+    // 3-round prefix is genuinely partial
+    val path = (1L until 256L).map(i => (i, i + 1, 1.0))
+    val straight = Wcc.run(edgeDs(path))
+    val store = new ParquetSnapshotStore(tmp(), "wcc1")
+    Wcc.run(edgeDs(path), maxIter = 3, store = Some(store),
+      checkpointEvery = 3)
+    val resumed = Wcc.run(edgeDs(path), store = Some(store))
+    // every op is exact integer min/jump — the resumed trajectory equals
+    // the straight one from round 3 on
+    assert(resumed.iterations == straight.iterations - 3,
+      s"resumed ${resumed.iterations} vs straight ${straight.iterations}")
+    exactMatch(
+      resumed.comps.collect().map(c => c.vid -> c.comp).toMap,
+      Oracles.wcc(path),
+    )
+  }
+
+  test("labelprop: run 6 straight == run 3, kill, resume to 6 (same store)") {
+    val g = Fixtures.twoCliquesBridge
+    val straight = LabelProp.run(edgeDs(g), LpConfig(iterations = 6))
+      .collect().map(l => l.vid -> l.label).toMap
+    val store = new ParquetSnapshotStore(tmp(), "lp1")
+    LabelProp.run(
+      edgeDs(g),
+      LpConfig(iterations = 3, checkpointEvery = 3),
+      store = Some(store),
+    )
+    val resumed = LabelProp.run(
+      edgeDs(g),
+      LpConfig(iterations = 6, checkpointEvery = 3),
+      store = Some(store),
+    ).collect().map(l => l.vid -> l.label).toMap
+    exactMatch(resumed, straight)
   }
 
   test("checkpointed run still matches the oracle") {

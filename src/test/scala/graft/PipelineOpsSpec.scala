@@ -43,7 +43,7 @@ class PipelineOpsSpec extends GraftSuite {
 
   test("minhash LSH finds planted near-dups, no false positives at 0.5") {
     val pairs = Dedup.minhashPairs(docsDf, "doc_id", "text",
-        shingleLen = 3, numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+        shingleLen = 3, numHashes = 32, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((100L, 101L)), s"missed planted near-dup: $pairs")
     assert(pairs.contains((100L, 102L)), s"missed planted near-dup: $pairs")
@@ -51,6 +51,40 @@ class PipelineOpsSpec extends GraftSuite {
     // the 20 random docs must not pair with each other
     assert(!pairs.exists { case (a, b) => a < 100 && b < 100 },
       s"false positive among random docs: $pairs")
+  }
+
+  test("lshParams: S-curve midpoint at or below the threshold") {
+    // the round-1 bug: fixed r=4/b=8 has midpoint 0.59 — at threshold
+    // 0.3 it silently missed ~94% of threshold-grazing pairs
+    assert(Dedup.lshParams(32, 0.3) == ((2, 16)))
+    assert(Dedup.lshParams(32, 0.5) == ((3, 10)))
+    val cases = Seq((16, 0.2), (32, 0.3), (32, 0.5), (64, 0.7), (32, 0.9))
+    cases.foreach { case (n, t) =>
+      val (r, b) = Dedup.lshParams(n, t)
+      assert(r * b <= n && b >= 1)
+      assert(math.pow(1.0 / b, 1.0 / r) <= t,
+        s"midpoint above threshold for ($n, $t) -> ($r, $b)")
+    }
+  }
+
+  test("minhash LSH at threshold 0.3 finds a threshold-grazing j~0.38 pair") {
+    // docs 300/301 share a 12-word prefix of 20 words: 10 shared
+    // 3-shingles of 18 each -> jaccard 10/26 ~ 0.385. Round 1's fixed
+    // r=4 banding found such a pair with probability ~0.08; the
+    // threshold-derived r=2/b=16 finds it w.p. ~0.9 (deterministic here
+    // given the seedless xxhash minhash).
+    val words = (0 until 20).map(i => s"w$i")
+    val grazeA = words.mkString(" ")
+    val grazeB = (words.take(12) ++ (0 until 8).map(i => s"y$i")).mkString(" ")
+    val df = (docs ++ Seq((300L, grazeA, "src0"), (301L, grazeB, "src0")))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.minhashPairs(df, "doc_id", "text",
+        shingleLen = 3, numHashes = 32, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got.contains((300L, 301L)), s"missed grazing pair: ${got.keySet}")
+    val j = got((300L, 301L))
+    assert(j > 0.3 && j < 0.45, s"unexpected jaccard $j")
   }
 
   test("simhash: hamming(near-dups) small, hamming(random) large; pairs complete") {
@@ -148,6 +182,26 @@ class PipelineOpsSpec extends GraftSuite {
       .lshTopK(df, q, "vec_id", "embedding", 5, bandBits = 4).collect())
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("cosine near-dup candidates find planted near-identical vectors") {
+    // two near-identical copies (0.1% jitter, cosine > 0.9999) planted
+    // into the 3-cluster corpus; same-cluster strangers sit well below
+    // the 0.999 threshold
+    def jitter(v: Array[Float]): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) 1e-3f else -1e-3f) }
+    val df = (vecs ++ Seq((100L, jitter(vecs(5)._2)), (101L, jitter(vecs(20)._2))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity
+      .cosineNearDupCandidates(df, "vec_id", "embedding",
+        threshold = 0.999, bandBits = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got.contains((5L, 100L)), s"missed planted dup: ${got.keySet}")
+    assert(got.contains((20L, 101L)), s"missed planted dup: ${got.keySet}")
+    got.foreach { case (pair, sim) =>
+      assert(sim >= 0.999, s"pair $pair below threshold: $sim")
+    }
   }
 
   test("multimodal plumbing: deterministic fake decode, exact features") {

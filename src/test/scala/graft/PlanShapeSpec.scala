@@ -45,6 +45,28 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("label-prop superstep = exactly one exchange (the vid repartition)") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    ) {
+      val edges = edgeDs(Fixtures.powerlaw1k)
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val adj = Csr.build(edges, p, Csr.WeightMode.Raw).localCheckpoint(true)
+      // mirrors LabelProp.run's init: checkpoint BEFORE the (vid, vid AS
+      // label) projection — localCheckpoint keeps only the first element
+      // of the alias-induced PartitioningCollection (hash(label)), which
+      // would cost two extra exchanges
+      val state = Superstep.vertices(edges)
+        .localCheckpoint(true)
+        .select(col("vid"), col("vid").as("label"))
+      val next = graft.algos.LabelProp.superstep(adj, state, p)
+      val plan = next.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    }
+  }
+
   test("edge-build scan never reads content (column pruning to the scan)") {
     val src = spark.createDataset(
       (0L until 50L).map(Synth.rowAt(_, 50L)))

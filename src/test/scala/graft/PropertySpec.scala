@@ -89,7 +89,7 @@ class PropertySpec extends GraftSuite {
         Oracles.pageRank(g, cfg),
       )
       exactMatch(
-        Wcc.run(ds).collect().map(c => c.vid -> c.comp).toMap,
+        Wcc.run(ds).comps.collect().map(c => c.vid -> c.comp).toMap,
         Oracles.wcc(g),
       )
       val tri = Triangles.run(ds)
