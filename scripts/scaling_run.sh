@@ -12,21 +12,24 @@ ROWS="${1:-16000000}"
 ITERS="${2:-10}"
 MEM="${SPARK_DRIVER_MEM:-48g}"
 OUT="${3:-/tmp/scaling}"
+MODE="${4:-}"        # comma-set: salted,declarative,shj
+PAIR="${PAIR:-8 32}" # "N 4N" core counts
+read -r N1 N2 <<<"$PAIR"
 mkdir -p "$OUT"
-for CORES in 8 32; do
+for CORES in $N1 $N2; do
   LAST=$((CORES - 1))
-  echo "=== cores=$CORES rows=$ROWS iters=$ITERS mem=$MEM (taskset 0-$LAST)"
+  echo "=== cores=$CORES rows=$ROWS iters=$ITERS mem=$MEM mode=$MODE (taskset 0-$LAST)"
   SPARK_DRIVER_MEM="$MEM" taskset -c "0-$LAST" \
-    sbt -batch "runMain graft.ScalingBench $CORES $ROWS $ITERS" 2>&1 \
+    sbt -batch "runMain graft.ScalingBench $CORES $ROWS $ITERS $MODE" 2>&1 \
     | grep -o '{"bench":"scaling".*}' | tee "$OUT/cores$CORES.json"
 done
-python3 - "$OUT" <<'EOF'
+python3 - "$OUT" "$N1" "$N2" <<'EOF'
 import json, sys
-out = sys.argv[1]
-t8 = json.load(open(f"{out}/cores8.json"))
-t32 = json.load(open(f"{out}/cores32.json"))
-eff = t32["edges_per_sec"] / (4 * t8["edges_per_sec"])
-print(f'N=8:  {t8["edges_per_sec"]:.3e} e/s  wall={t8["seconds"]:.1f}s gc={t8["gc_sec"]:.1f}s util={t8["util"]:.2f} cpu={t8["cpu_sec"]:.0f}s')
-print(f'4N=32: {t32["edges_per_sec"]:.3e} e/s  wall={t32["seconds"]:.1f}s gc={t32["gc_sec"]:.1f}s util={t32["util"]:.2f} cpu={t32["cpu_sec"]:.0f}s')
-print(f'scaling efficiency = {eff:.3f} (target >= 0.8)')
+out, n1, n2 = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+a = json.load(open(f"{out}/cores{n1}.json"))
+b = json.load(open(f"{out}/cores{n2}.json"))
+eff = b["edges_per_sec"] / ((n2 / n1) * a["edges_per_sec"])
+for t in (a, b):
+    print(f'N={t["cores"]}: {t["edges_per_sec"]:.3e} e/s  wall={t["seconds"]:.1f}s gc={t["gc_sec"]:.1f}s util={t["util"]:.2f} cpu={t["cpu_sec"]:.0f}s')
+print(f'scaling efficiency {n1}->{n2} = {eff:.3f} (target >= 0.8)')
 EOF

@@ -47,7 +47,9 @@ object Bench {
         )
         .select(col("src"), col("dst"), col("weight").cast("double"))
         .as[Edge]
-      PageRank.run(edges, PrConfig(tol = 0.0, maxIter = 10))
+      // tol = -1 forces exactly 10 supersteps (tol=0 can stop early on an
+      // exact float fixpoint), keeping the headline metric comparable
+      PageRank.run(edges, PrConfig(tol = -1.0, maxIter = 10))
     }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pr_edges_per_sec":${pr.edgesPerSec},"pr_edges":${pr.edgeCount},"pr_supersteps":${pr.iterations},"pr_seconds":${pr.wallSeconds}}"""

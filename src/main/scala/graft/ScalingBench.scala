@@ -36,7 +36,15 @@ object ScalingBench {
     val cores = args(0).toInt
     val nRows = if (args.length > 1) args(1).toLong else 16000000L
     val iters = if (args.length > 2) args(2).toInt else 10
-    val salted = args.length > 3 && args(3) == "salted"
+    // mode: comma-set of {salted, spmv, declarative, shj}; scatter form
+    // defaults to the engine's edge-count auto-selection; "spmv" /
+    // "declarative" force one form for comparison runs
+    val mode = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
+    val salted = mode.contains("salted")
+    val spmv: Option[Boolean] =
+      if (mode.contains("spmv")) Some(true)
+      else if (mode.contains("declarative")) Some(false)
+      else None
     val maxDeg = if (args.length > 4) args(4).toInt else 1 << 16
     // shuffle partitions FIXED across parallelism levels: the scaling
     // experiment varies only the executor thread count over an identical
@@ -47,12 +55,18 @@ object ScalingBench {
     // 259 vs 1003 tasks — judge-flagged); now pinned to the 4N level's
     // natural P unless GRAFT_PARTITIONS overrides.
     val partitions = sys.env.getOrElse("GRAFT_PARTITIONS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shj: shuffled-hash joins instead of sort-merge — drops the two
+    // per-superstep |V|-row sorts (state into scatter, state into update)
+    if (mode.contains("shj")) {
+      builder.config("spark.sql.join.preferSortMergeJoin", "false")
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // task-time accounting: utilization = Σ task time / (wall × cores)
     // separates serial/driver overhead (low util) from skew (high max task)
@@ -84,17 +98,26 @@ object ScalingBench {
     val edges = EdgeBuilder.edges(src)
       .select(col("src"), col("dst"), col("weight"))
       .as[Edge]
-    // materialize edges once so PageRank timing excludes the build
-    val cached = edges.localCheckpoint(true)
+    // materialize edges once so PageRank timing excludes the build —
+    // columnar Dataset persist (compressed CachedBatch), NOT
+    // localCheckpoint: the default checkpoint level pins one row OBJECT
+    // per edge on the heap for the whole run (53M live objects at 64M
+    // rows), which alone GC-thrashed the larger runs
+    val cached = edges.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.count()
-    val res = PageRank.run(cached, PrConfig(tol = 0.0, maxIter = iters),
-      salted = salted, maxDegPerBlock = maxDeg,
+    // tol = -1: the synthetic DAG-of-stars graph reaches an EXACT float
+    // fixpoint in a handful of supersteps, so tol=0 would stop early (and
+    // possibly at different iterations per level, breaking the identical-
+    // work contract); a negative tol forces exactly `iters` supersteps
+    val res = PageRank.run(cached, PrConfig(tol = -1.0, maxIter = iters),
+      salted = salted, maxDegPerBlock = maxDeg, spmv = spmv,
       onLoopStart = () => {
         busyMs.set(0); maxTaskMs.set(0); nTasks.set(0)
         gcMs.set(0); shufWrite.set(0); cpuNs.set(0)
       })
     println(
-      s"""{"bench":"scaling","cores":$cores,"visible_cpus":${Runtime.getRuntime.availableProcessors},"partitions":$partitions,"heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},"rows":$nRows,"salted":$salted,"maxDeg":$maxDeg,"edges":${res.edgeCount},"iters":${res.iterations},"seconds":${res.wallSeconds},"edges_per_sec":${res.edgesPerSec},"busy_sec":${busyMs.get / 1000.0},"util":${busyMs.get / 1000.0 / (res.wallSeconds * cores)},"max_task_sec":${maxTaskMs.get / 1000.0},"tasks":${nTasks.get},"gc_sec":${gcMs.get / 1000.0},"cpu_sec":${cpuNs.get / 1e9},"shuffle_mb":${shufWrite.get / 1048576}}"""
+      s"""{"bench":"scaling","cores":$cores,"visible_cpus":${Runtime.getRuntime.availableProcessors},"partitions":$partitions,"heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},"rows":$nRows,"salted":$salted,"spmv":"${spmv.map(_.toString).getOrElse("auto")}","maxDeg":$maxDeg,"edges":${res.edgeCount},"iters":${res.iterations},"seconds":${res.wallSeconds},"edges_per_sec":${res.edgesPerSec},"busy_sec":${busyMs.get / 1000.0},"util":${busyMs.get / 1000.0 / (res.wallSeconds * cores)},"max_task_sec":${maxTaskMs.get / 1000.0},"tasks":${nTasks.get},"gc_sec":${gcMs.get / 1000.0},"cpu_sec":${cpuNs.get / 1e9},"shuffle_mb":${shufWrite.get / 1048576}}"""
     )
     spark.stop()
   }

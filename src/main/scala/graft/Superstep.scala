@@ -13,6 +13,36 @@ import org.apache.spark.sql.functions._
   */
 object Superstep {
 
+  /** Rows-per-state threshold above which [[cut]] stores SERIALIZED.
+    * Measured trade-off on the 32-core host (PageRank, 10 supersteps):
+    * at 8M-vertex state, deserialized wins by ~1.7x (serialization
+    * doubles cpu_sec while GC is only ~15 s); at 32M-vertex state,
+    * serialized wins by ~1.5x (object-form states put hundreds of
+    * millions of row objects on the heap and GC explodes to 150-1650 s).
+    */
+  val SerializedCutThreshold: Long = 16L * 1000 * 1000
+
+  /** Per-iteration lineage cut: eager localCheckpoint.
+    *
+    * `approxRows` picks the storage form (see [[SerializedCutThreshold]]):
+    * small states cache deserialized (fast re-reads, blocks die young);
+    * huge states cache serialized (a few byte arrays per partition
+    * instead of one object per row — GC tracing cost, not allocation,
+    * is what kills multi-core scaling at that size). Inputs that live
+    * the WHOLE run (edge tables) should use columnar Dataset.persist
+    * instead, never an object-form localCheckpoint.
+    */
+  def cut(
+      df: org.apache.spark.sql.DataFrame,
+      approxRows: Long = 0L,
+  ): org.apache.spark.sql.DataFrame = {
+    val level =
+      if (approxRows > SerializedCutThreshold)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    df.localCheckpoint(true, level)
+  }
+
   /** Run `body` with adaptive query execution disabled, restoring the
     * previous setting afterwards. Supersteps are fixed-shape jobs where
     * AQE hurts: its plan wrapper reports UnknownPartitioning, so every

@@ -53,7 +53,7 @@ object LabelProp {
       if (cfg.weighted) Csr.WeightMode.Raw else Csr.WeightMode.One
     val adj = Csr.build(base, p, mode)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
+    val adjCount = adj.count() // ~|V| when symmetrized
 
     val resumed = store.flatMap(_.latest(spark))
     var iter = resumed.map(_._1.iteration).getOrElse(0)
@@ -66,14 +66,14 @@ object LabelProp {
     // PlanShapeSpec).
     var state = resumed match {
       case Some((_, df)) =>
-        df.repartition(p, col("vid")).localCheckpoint(true)
+        Superstep.cut(df.repartition(p, col("vid")), adjCount)
       case None =>
-        Superstep.vertices(base).localCheckpoint(true)
+        Superstep.cut(Superstep.vertices(base), adjCount)
           .select(col("vid"), col("vid").as("label"))
     }
     while (iter < cfg.iterations) {
       val t0 = System.nanoTime()
-      state = superstep(adj, state, p).localCheckpoint(true)
+      state = Superstep.cut(superstep(adj, state, p), adjCount)
       iter += 1
       val secs = (System.nanoTime() - t0) / 1e9
       val done = iter >= cfg.iterations

@@ -38,17 +38,28 @@ final case class PrResult(
   * Execution shape per superstep (the whole point at 100 TB scale):
   *   1. adj ⋈ state on src=vid — both sides hash-partitioned by the same
   *      key with the same P, so this join is EXCHANGE-FREE;
-  *   2. partition-local SpMV ([[graft.LongDoubleMap]] combine over the CSR
-  *      primitive arrays — measured ~3× the throughput of the generic
-  *      row-at-a-time HashAggregate partial for the same combine);
+  *   2. partition-local scatter+combine, two interchangeable forms (the
+  *      `spmv` flag): the typed [[graft.LongDoubleMap]] SpMV over the CSR
+  *      primitive arrays, or the fully-codegen posexplode + partial
+  *      HashAggregate. At small scale (~1M edges) the typed SpMV measured
+  *      faster; at 13M+ edges the codegen path wins at every core count
+  *      (16M-row run: 4.08M vs 3.78M e/s at 8 cores, 7.36M vs 6.95M at
+  *      32) because it allocates NOTHING per row while the typed path's
+  *      tuple+array churn turns into GC pressure exactly when many cores
+  *      contend — so the form is auto-selected by edge count (`spmv =
+  *      None`); pass Some(...) to force one;
   *   3. the ONE shuffle per superstep: final message aggregation by dst,
-  *      fed at most |V∩task| pre-aggregated rows per task;
+  *      fed map-combined partials per task;
   *   4. state ⋈ messages on vid — exchange-free again (message agg output
   *      is already hash-partitioned by vid);
-  *   5. dangling mass rides the same job as a broadcast one-row aggregate;
-  *      the max|Δ| convergence aggregate runs only when the answer is
-  *      needed (tol > 0, a snapshot, or the final iteration), so a
-  *      fixed-iteration run is ONE action per superstep.
+  *   5. dangling mass, two strategies picked by the same edge-count
+  *      boundary as the scatter form: LARGE graphs fold it in as a
+  *      LITERAL — one cheap aggregate job per superstep over the fresh
+  *      checkpoint computes max|Δ| and the next dangling sum together
+  *      (a BroadcastExchange barrier inside every superstep job is
+  *      measurable serial floor at high core counts); SMALL graphs keep
+  *      the broadcast one-row aggregate riding the superstep job itself,
+  *      where the extra job would cost more than the barrier.
   *
   * Lineage is truncated EVERY superstep via eager localCheckpoint (the
   * state plan references itself twice per iteration — without truncation
@@ -73,6 +84,7 @@ object PageRank {
       store: Option[SnapshotStore] = None,
       salted: Boolean = false,
       maxDegPerBlock: Int = 1 << 16,
+      spmv: Option[Boolean] = None,
       onLoopStart: () => Unit = () => (),
   ): PrResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
@@ -86,6 +98,17 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCnt = Csr.edgeCount(adjAll) // also materializes the cache
     require(edgeCnt > 0, "PageRank needs a non-empty edge table")
+    // auto scatter form (Scaladoc item 2): typed SpMV wins below a few
+    // million edges (per-row overhead dominates), codegen above (object
+    // churn becomes the multi-core GC ceiling). The same boundary picks
+    // the dangling-mass strategy: small graphs take the in-job broadcast
+    // aggregate (one action per superstep — per-job overhead dominates
+    // small supersteps), large graphs take the driver-literal form (the
+    // BroadcastExchange barrier inside every superstep job is measurable
+    // serial floor at high core counts).
+    val smallGraph = edgeCnt < 4L * 1000 * 1000
+    val useSpmv = spmv.getOrElse(smallGraph)
+    val literalDm = !smallGraph
     // Salted skew handling (J8): split the adjacency ONCE. Hub vertices
     // (out-degree > maxDegPerBlock, i.e. salt > 0 exists) get their chunk
     // rows spread across ALL partitions by (src, salt); everyone else
@@ -136,14 +159,15 @@ object PageRank {
     val resumed = store.flatMap(_.latest(spark))
     var iter = resumed.map(_._1.iteration).getOrElse(0)
     val startIter = iter
-    // Lineage is truncated EVERY superstep via eager localCheckpoint: the
-    // state plan references the previous state twice (messages + update
-    // join), so without truncation the logical plan DOUBLES per iteration
-    // — analysis alone goes exponential long before any data is big
-    // (SURVEY §7.4.1). localCheckpoint leaves a flat scan of the
-    // materialized partitions, which also preserves the hash partitioning
-    // for the next superstep's exchange-free joins. Old iterations'
-    // blocks are reclaimed by Spark's ContextCleaner once unreferenced.
+    // Lineage is truncated EVERY superstep ([[Superstep.cut]] — eager
+    // localCheckpoint, storage form adaptive to |V|): the state plan
+    // references the previous state twice (messages + update join), so
+    // without truncation the logical plan DOUBLES per iteration —
+    // analysis alone goes exponential long before any data is big
+    // (SURVEY §7.4.1). The cut leaves a flat scan of the materialized
+    // partitions, preserving the hash partitioning for the next
+    // superstep's exchange-free joins. Old iterations' blocks are
+    // reclaimed by Spark's ContextCleaner once unreferenced.
     var state: DataFrame = (resumed match {
       case Some((_, df)) => df.repartition(p, col("vid"))
       case None =>
@@ -153,43 +177,74 @@ object PageRank {
             col("hasOut").isNull.as("dangling"),
             lit(1.0 / n).as("rank"),
           )
-    }).localCheckpoint(true)
+    })
+    state = Superstep.cut(state, n.toLong)
     var delta = Double.MaxValue
+    // dangling mass of the CURRENT state (literal-dm mode only)
+    var dm =
+      if (!literalDm) Double.NaN
+      else
+        state
+          .agg(coalesce(sum(when(col("dangling"), col("rank"))
+            .otherwise(0.0)), lit(0.0)))
+          .head()
+          .getDouble(0)
     val perIter = Seq.newBuilder[IterMetric]
     onLoopStart()
     val t0 = System.nanoTime()
 
-    // Partition-local SpMV (BASELINE.json:6): stream each CSR block's
-    // primitive arrays once, combining messages in a compact open-
-    // addressing Long→Double map (16 B/entry) — measured ~3× faster than
-    // the generic row-at-a-time HashAggregate partial for the same
-    // combine. Emits at most |V ∩ reachable| pre-aggregated rows per task
-    // into the superstep's ONE shuffle. (A cache-blocked variant sweeping
-    // sorted dst ranges with an L2-resident map was tried and measured
-    // slower at this scale — the streaming form also avoids buffering the
-    // partition's deserialized arrays.)
+    // Partition-local scatter+combine (BASELINE.json:6) — see item 2 of
+    // the Scaladoc for the spmv-vs-codegen measurement history. Both
+    // forms emit map-combined partials into the superstep's ONE shuffle.
+    // (A cache-blocked SpMV variant sweeping sorted dst ranges with an
+    // L2-resident map was also tried and measured slower.)
+    def joined(a: DataFrame, st: DataFrame, bcastState: Boolean): DataFrame =
+      (if (bcastState) a.join(broadcast(st), a("src") === st("vid"))
+       else st.join(a, st("vid") === a("src")))
+        .select(col("rank"), col("dsts"), col("weights"), col("uweight"))
+
     def scatter(
         a: DataFrame,
         st: DataFrame,
         bcastState: Boolean,
-    ): Dataset[(Long, Double)] =
-      (if (bcastState) a.join(broadcast(st), a("src") === st("vid"))
-       else st.join(a, st("vid") === a("src")))
-        .select(col("rank"), col("dsts"), col("weights"), col("uweight"))
-        .as[(Double, Array[Long], Array[Double], Double)]
-        .mapPartitions { it =>
-          val m = new LongDoubleMap(1 << 12)
-          it.foreach { case (rank, dsts, ws, uw) =>
-            var i = 0
-            if (ws.length == 0) {
-              val c = rank * uw
-              while (i < dsts.length) { m.add(dsts(i), c); i += 1 }
-            } else {
-              while (i < dsts.length) { m.add(dsts(i), rank * ws(i)); i += 1 }
+    ): DataFrame =
+      if (useSpmv)
+        joined(a, st, bcastState)
+          .as[(Double, Array[Long], Array[Double], Double)]
+          .mapPartitions { it =>
+            val m = new LongDoubleMap(1 << 12)
+            it.foreach { case (rank, dsts, ws, uw) =>
+              var i = 0
+              if (ws.length == 0) {
+                val c = rank * uw
+                while (i < dsts.length) { m.add(dsts(i), c); i += 1 }
+              } else {
+                while (i < dsts.length) { m.add(dsts(i), rank * ws(i)); i += 1 }
+              }
             }
+            m.iterator
           }
-          m.iterator
-        }
+          .toDF("vid", "m")
+      else
+        // allocation-free alternative: posexplode + the built-in partial
+        // HashAggregate stay entirely inside whole-stage codegen on
+        // UnsafeRows — no per-row tuples/arrays on the JVM heap, so the
+        // GC pressure that caps multi-core scaling disappears; the
+        // map-side combine is Spark's own partial aggregation
+        joined(a, st, bcastState)
+          .select(
+            col("rank"),
+            col("weights"),
+            col("uweight"),
+            posexplode(col("dsts")).as(Seq("pos", "vid")),
+          )
+          .select(
+            col("vid"),
+            (col("rank") * when(
+              size(col("weights")) > 0,
+              element_at(col("weights"), col("pos") + 1),
+            ).otherwise(col("uweight"))).as("m"),
+          )
 
     while (iter < cfg.maxIter && delta > cfg.tol) {
       val it0 = System.nanoTime()
@@ -204,31 +259,45 @@ object PageRank {
       }
       val msgs = contribs.toDF("vid", "m")
         .groupBy("vid").agg(sum("m").as("msg"))
-      // dangling mass enters the SAME job as a broadcast one-row aggregate
-      // over the current state — no driver round-trip per superstep
-      val dmDf = state.where(col("dangling"))
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-      val newRank = lit(teleport) +
-        lit(d) * (coalesce(col("msg"), lit(0.0)) + col("dm") / n)
-      val next = state.join(msgs, Seq("vid"), "left_outer")
-        .join(broadcast(dmDf)) // 1-row cross join
-        .select(
-          col("vid"),
-          col("dangling"),
-          newRank.as("rank"),
-          abs(newRank - col("rank")).as("delta"),
-        )
-        .localCheckpoint(true) // the ONE action of the superstep
+      val next =
+        if (literalDm) {
+          val newRank = lit(teleport) +
+            lit(d) * (coalesce(col("msg"), lit(0.0)) + lit(dm) / n)
+          state.join(msgs, Seq("vid"), "left_outer")
+            .select(
+              col("vid"),
+              col("dangling"),
+              newRank.as("rank"),
+              abs(newRank - col("rank")).as("delta"),
+            )
+        } else {
+          // small graphs: dangling mass rides the SAME job as a broadcast
+          // one-row aggregate — one action per superstep, no extra job
+          val dmDf = state.where(col("dangling"))
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dmv"))
+          val newRank = lit(teleport) +
+            lit(d) * (coalesce(col("msg"), lit(0.0)) + col("dmv") / n)
+          state.join(msgs, Seq("vid"), "left_outer")
+            .join(broadcast(dmDf)) // 1-row cross join
+            .select(
+              col("vid"),
+              col("dangling"),
+              newRank.as("rank"),
+              abs(newRank - col("rank")).as("delta"),
+            )
+        }
+      val cut = Superstep.cut(next, n.toLong) // the superstep's main action
       iter += 1
       val atMax = iter >= cfg.maxIter
       val wantSnapshot =
         store.isDefined && (iter % cfg.checkpointEvery == 0 || atMax)
-      // the convergence aggregate is a second (cheap: scans the fresh
-      // checkpoint) job — run it only when someone needs the answer:
-      // a convergence test (tol > 0), a snapshot's metrics, or the end
-      var dm = Double.NaN
-      if (cfg.tol > 0 || wantSnapshot || atMax) {
-        val r = next.agg(
+      // the post-checkpoint aggregate: ALWAYS in literal-dm mode (the next
+      // superstep needs the dangling sum); in broadcast-dm mode only when
+      // someone needs the delta (tol > 0, a snapshot, or the end) — a
+      // fixed-iteration (tol <= 0) small-graph run stays ONE action per
+      // superstep
+      if (literalDm || cfg.tol > 0 || wantSnapshot || atMax) {
+        val r = cut.agg(
             max("delta"),
             sum(when(col("dangling"), col("rank")).otherwise(0.0)),
           ).head()
@@ -239,8 +308,8 @@ object PageRank {
       perIter += IterMetric(iter, secs, delta, dm)
       if (debug)
         println(f"[pagerank] iter $iter%3d ${secs}%6.2fs delta=$delta%.3e")
-      state = next.drop("delta")
-      val converged = delta <= cfg.tol || atMax
+      state = cut.drop("delta")
+      val converged = delta <= cfg.tol || iter >= cfg.maxIter
       // durable snapshot for resume (distinct from per-iter lineage cuts)
       if (iter % cfg.checkpointEvery == 0 || converged) store.foreach { s =>
         s.write(

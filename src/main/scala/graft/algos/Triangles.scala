@@ -29,7 +29,13 @@ final case class TriResult(global: Long, perVertex: DataFrame)
   */
 object Triangles {
 
-  def run(edges: Dataset[Edge]): TriResult = {
+  /** Global count only — skips the per-vertex aggregation entirely (it
+    * roughly doubles the work; callers that just need T shouldn't pay
+    * for it).
+    */
+  def globalCount(edges: Dataset[Edge]): Long = run(edges, perVertex = false).global
+
+  def run(edges: Dataset[Edge], perVertex: Boolean = true): TriResult = {
     val spark = edges.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val und = edges
@@ -64,12 +70,25 @@ object Triangles {
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = oriented
+    val triBase = oriented
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
       .join(
         adj.select(col("u").as("v"), col("nbrs").as("nv")),
         Seq("v"),
       )
+    if (!perVertex) {
+      // global-only fast path: never materialize the witness arrays, no
+      // tri cache — one pass summing intersection sizes
+      val global = triBase
+        .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
+        .agg(coalesce(sum("c"), lit(0L)))
+        .head().getLong(0)
+      und.unpersist(false)
+      oriented.unpersist(false)
+      adj.unpersist(false)
+      return TriResult(global, edges.sparkSession.emptyDataFrame)
+    }
+    val tri = triBase
       .select(
         col("u"),
         col("v"),
@@ -92,14 +111,15 @@ object Triangles {
     // depends on deg → und and on tri, so unpersisting first would force
     // a full recompute when the caller finally acts on it — and the
     // intermediate caches must not outlive the call (round-1 leak).
-    val perVertex = deg.select(col("vid"))
-      .join(corners, Seq("vid"), "left_outer")
-      .select(col("vid"), coalesce(col("c"), lit(0L)).as("triangles"))
-      .localCheckpoint(true)
+    val perVertexDf = Superstep.cut(
+      deg.select(col("vid"))
+        .join(corners, Seq("vid"), "left_outer")
+        .select(col("vid"), coalesce(col("c"), lit(0L)).as("triangles"))
+    )
     und.unpersist(false)
     oriented.unpersist(false)
     adj.unpersist(false)
     tri.unpersist(false)
-    TriResult(global, perVertex)
+    TriResult(global, perVertexDf)
   }
 }

@@ -63,7 +63,7 @@ object Wcc {
     val sym = EdgeBuilder.symmetrize(edges)
     val adj = Csr.build(sym, p, Csr.WeightMode.One)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
+    val adjCount = adj.count() // ~|V| on a symmetrized graph
 
     val resumed = store.flatMap(_.latest(spark))
     var iter = resumed.map(_._1.iteration).getOrElse(0)
@@ -74,9 +74,9 @@ object Wcc {
     // first element (hash(comp)) — see LabelProp.
     var state: DataFrame = resumed match {
       case Some((_, df)) =>
-        df.repartition(p, col("vid")).localCheckpoint(true)
+        Superstep.cut(df.repartition(p, col("vid")), adjCount)
       case None =>
-        Superstep.vertices(sym).localCheckpoint(true)
+        Superstep.cut(Superstep.vertices(sym), adjCount)
           .select(col("vid"), col("vid").as("comp"))
     }
     var changed = 1L
@@ -94,7 +94,7 @@ object Wcc {
       val next = if (!pointerJump) half
       else {
         // half feeds the jump twice (probe + lookup): materialize once
-        val h = half.localCheckpoint(true)
+        val h = Superstep.cut(half, adjCount)
         val imgDf = h.select(col("comp")).distinct()
           .withColumnRenamed("comp", "vid")
         // lookup: comp(c) for c in the comp image, non-root rows only
@@ -111,13 +111,14 @@ object Wcc {
             col("oldComp"),
           )
       }
-      val mat = next
-        .select(
+      val mat = Superstep.cut(
+        next.select(
           col("vid"),
           col("comp"),
           (col("comp") < col("oldComp")).as("changed"),
-        )
-        .localCheckpoint(true)
+        ),
+        adjCount,
+      )
       val stats = mat.agg(
         coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)),
         approx_count_distinct(col("comp")),

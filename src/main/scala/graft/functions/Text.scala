@@ -78,6 +78,12 @@ object Text {
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum xxhash64 over the shingle set. Distinct seeds come from
     * hashing (shingle, hashIndex) pairs — one pass, all built-ins.
+    *
+    * NOTE: nested array lambdas are CodegenFallback (interpreted) —
+    * measured 8x slower than the equivalent explode + per-index
+    * min-aggregates that [[graft.operators.Dedup.minhashPairs]] uses on
+    * its hot path. Keep this form for per-row signature columns on small
+    * inputs; use the explode+agg form in pipelines.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     transform(

