@@ -266,6 +266,18 @@ object SparkEntry {
         bandBits = 4,
       )
     },
+    "q_ivf_ann" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        emb,
+        emb.where(col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k = 5,
+        nlist = 16,
+        nprobe = 4,
+      )
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -151,6 +151,84 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long"))
   }
 
+  /** IVF (inverted-file) ANN: the second scale path beside [[lshTopK]].
+    *
+    * Build: `nlist` centroids are picked DETERMINISTICALLY — the corpus
+    * vectors with the smallest xxhash64(id) (a reproducible pseudo-random
+    * sample; no RNG state, no MLlib dependency) — and every corpus vector
+    * is assigned to its nearest centroid (one broadcast-join + argmin
+    * pass, the classic IVF coarse quantizer with 0 Lloyd refinements).
+    * Query: each query probes its `nprobe` nearest centroid buckets and
+    * exact-cosine re-ranks only those buckets' vectors — candidate cost
+    * |C|·nprobe/nlist per query instead of |C|, and every join is a plain
+    * equi-join on the centroid id (no all-pairs anywhere).
+    *
+    * Returns (query_id, neighbor_id, rnk), rnk 1..k, deterministic
+    * (rounded sims + id tie-breaks, like the other topK paths).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      simDecimals: Int = 6,
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
+    val c = corpus.select(
+      col(idCol).as("cid_"),
+      asDouble(col(vecCol)).as("cvec"),
+    )
+    val cents = c
+      .orderBy(xxhash64(col("cid_")), col("cid_"))
+      .limit(nlist)
+      .select(col("cid_").as("cent"), col("cvec").as("centvec"))
+    // nearest-centroid assignment: broadcast the tiny centroid table,
+    // argmin via min(struct(dist, cent)) — negative cosine as distance
+    def nearest(side: DataFrame, id: String, vec: String, keep: Int) = {
+      val scored = side
+        .join(broadcast(cents))
+        .select(
+          col(id),
+          col(vec),
+          col("cent"),
+          round(-cosine(col(vec), col("centvec")), simDecimals).as("cd"),
+        )
+      val w = Window.partitionBy(id).orderBy(col("cd"), col("cent"))
+      scored
+        .select(col("*"), row_number().over(w).as("crnk"))
+        .where(col("crnk") <= keep)
+        .drop("cd", "crnk")
+    }
+    val bucketed = nearest(c, "cid_", "cvec", 1)
+      .select(col("cid_").as("neighbor_id"), col("cvec"), col("cent"))
+    val probes = nearest(
+      queries.select(
+        col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"),
+      ),
+      "query_id",
+      "qvec",
+      nprobe,
+    )
+    val scored = bucketed
+      .join(broadcast(probes), Seq("cent"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), simDecimals).as("sim"),
+      )
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .select(col("*"), row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long"))
+  }
+
   /** Exact cosine near-duplicate pairs: all corpus pairs with
     * cosine >= threshold, bucketed by SRP band first so the pair join is
     * band-local (near-identical vectors agree on all bits with high

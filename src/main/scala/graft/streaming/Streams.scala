@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY §2.A A10).
+  *
+  * The reference engine is batch-only, but the training-data pipeline
+  * this engine serves ingests continuously; these are the streaming
+  * duals of the batch layer, expressed as plan TRANSFORMATIONS (a
+  * readStream DataFrame in, a streaming DataFrame out) so callers keep
+  * ownership of source, sink, trigger, and output mode. State is always
+  * watermark-bounded — the only kind of state that survives an unbounded
+  * stream. Verified end-to-end in StreamingSpec (file source →
+  * AvailableNow trigger → memory sink) against the batch operators over
+  * the same rows.
+  */
+object Streams {
+
+  /** Streaming exact dedup: the first row per key wins; later duplicates
+    * arriving within the watermark horizon are dropped, and state for
+    * keys older than the horizon is evicted (bounded state — the
+    * streaming counterpart of [[graft.operators.Dedup.exactGroups]]'s
+    * keep-one semantics).
+    */
+  def dedupByKey(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String,
+      keyCols: Seq[String],
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked tumbling-window aggregation — the streaming dual of the
+    * batch q_events_hourly (count + exact decimal sum per (window, type)).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("double").as("sum_value"),
+      )
+      .select(
+        col("window.start").as("win_start"),
+        col(typeCol),
+        col("cnt"),
+        col("sum_value"),
+      )
+}

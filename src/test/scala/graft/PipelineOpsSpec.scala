@@ -184,6 +184,20 @@ class PipelineOpsSpec extends GraftSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF ANN: recall >= 0.8 vs brute force on clustered vectors") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 6)
+    def pairs(x: Array[org.apache.spark.sql.Row]) =
+      x.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity
+      .bruteForceTopK(df, q, "vec_id", "embedding", 5).collect())
+    val approx = pairs(Similarity
+      .ivfTopK(df, q, "vec_id", "embedding", 5, nlist = 8, nprobe = 4)
+      .collect())
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("cosine near-dup candidates find planted near-identical vectors") {
     // two near-identical copies (0.1% jitter, cosine > 0.9999) planted
     // into the 3-cluster corpus; same-cluster strangers sit well below

@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.Streams
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming duals equal their batch counterparts over the same rows
+  * (SURVEY §2.A A10). Drives the real streaming engine end to end:
+  * parquet file source → watermarked stateful operator → AvailableNow
+  * trigger → memory sink.
+  */
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  /** (event_id, ts, event_type, value) with duplicate ids + out-of-order
+    * arrivals inside the watermark horizon.
+    */
+  private val rows: Seq[(Long, Timestamp, String, Double)] = Seq(
+    (1L, ts(0), "click", 1.0),
+    (2L, ts(5), "view", 2.0),
+    (1L, ts(7), "click", 1.0), // duplicate id, later ts
+    (3L, ts(62), "click", 3.0), // next hour window
+    (2L, ts(64), "view", 2.0), // duplicate id, next hour
+    (4L, ts(3), "view", 4.5), // out-of-order (early ts, late arrival)
+  )
+
+  private def streamFrom(dir: String): DataFrame = {
+    val batch = rows.toDF("event_id", "ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(batch.schema).parquet(dir)
+  }
+
+  private def runToTable(df: DataFrame, name: String, mode: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streaming windowed counts == batch groupBy over the same rows") {
+    val dir = Files.createTempDirectory("graft-stream-agg").toString
+    val out = Streams.windowedCounts(
+      streamFrom(dir), "ts", "event_type", "value")
+    runToTable(out, "win_counts", "complete")
+    val got = spark.table("win_counts")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val want = rows.toDF("event_id", "ts", "event_type", "value")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("streaming dedup drops in-horizon duplicate ids, keeps first") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    val out = Streams.dedupByKey(
+      streamFrom(dir), "ts", "3 hours", Seq("event_id"))
+    runToTable(out, "dedup_out", "append")
+    val got = spark.table("dedup_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), s"got $got")
+    assert(spark.table("dedup_out").count() == 4)
+  }
+}
