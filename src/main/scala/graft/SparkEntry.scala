@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.algos.{LabelProp, PageRank, Triangles, Wcc}
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -178,6 +178,35 @@ object SparkEntry {
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
+        )
+    },
+    // J10 as-of join: each event gets the user's most recent order at or
+    // before the event timestamp (right side deduped per (custkey, date)
+    // so the match is unique — both engines apply the same dedup)
+    "q_asof_order" -> { (s, d) =>
+      val o = Relational.latestPerKeyTs(
+        t(s, d, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+      Relational.asofJoin(
+        t(s, d, "events").select("event_id", "user_id", "ts"),
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        "user_id", "ts",
+        "o_custkey", "o_orderdate",
+      ).select(
+        col("event_id"),
+        col("user_id"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+      )
+    },
+    // G8 grouping sets: rollup over (priority, status) with subtotal and
+    // grand-total rows (NULL-marked, like the SQL standard)
+    "q_rollup_orders" -> { (s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
         )
     },
     // ---- training-data layer: dedup / text / similarity ----
@@ -423,6 +452,19 @@ object SparkEntry {
         """SELECT event_id,
           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |FROM events""".stripMargin,
+      "q_asof_order" ->
+        """WITH o AS (
+          |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+          |      ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1)
+          |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+          |FROM events e ASOF LEFT JOIN o
+          |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""".stripMargin,
+      "q_rollup_orders" ->
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
       "q_dedup_exact" ->
         """SELECT sha256(text) AS sha, count(*) AS cnt,
           |  min(doc_id) AS keep_id

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as built-ins (SURVEY §2.A J10).
+  *
+  * Composed from existing operators per the preference order (no custom
+  * SparkPlan needed): the as-of join is the classic union-and-window
+  * formulation — one shuffle over |L|+|R| rows keyed by the join key, no
+  * range-explosion, no per-row lookup joins.
+  */
+object Relational {
+
+  /** As-of join: for every left row, attach the single right row with the
+    * same key and the greatest `rightTs` <= `leftTs` (or nulls if none) —
+    * e.g. "the user's most recent order at or before this event".
+    *
+    * Mechanics: tag and union both sides, then one window pass per key
+    * ordered by (ts, side) where right rows sort BEFORE left rows at
+    * equal ts (<= semantics); `last(right payload, ignoreNulls)` over the
+    * unbounded-preceding frame carries the newest right row into each
+    * left row. ONE shuffle total (the window partitioning), linear state
+    * per key — the scalable shape for this operator; hot keys get the
+    * same salting story as every other key in the engine.
+    *
+    * Determinism requires (rightKey, rightTs) UNIQUE on the right side
+    * (otherwise "the" matching row is ambiguous); pre-dedupe with
+    * [[latestPerKeyTs]].
+    *
+    * Output: every left column, then every right column (null when no
+    * match). Column names must not collide across sides.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      rightKey: String,
+      rightTs: String,
+  ): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column collision across sides: $overlap")
+    val rStruct = struct(right.columns.map(col): _*)
+    val rightTagged = right.select(
+      col(rightKey).as("__k"),
+      col(rightTs).as("__t"),
+      lit(0).as("__side"),
+      rStruct.as("__r"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          left.schema.fields
+        )
+      ).as("__l"),
+    )
+    val leftTagged = left.select(
+      col(leftKey).as("__k"),
+      col(leftTs).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.schema.fields
+        )
+      ).as("__r"),
+      struct(left.columns.map(col): _*).as("__l"),
+    )
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightCols = right.columns.map(c => col(s"__m.$c").as(c))
+    rightTagged
+      .unionByName(leftTagged)
+      .select(
+        col("__side"),
+        col("__l"),
+        last(col("__r"), ignoreNulls = true).over(w).as("__m"),
+      )
+      .where(col("__side") === 1)
+      .select(leftCols ++ rightCols: _*)
+  }
+
+  /** Deterministic (key, ts) dedup helper for the as-of right side: keeps
+    * the row with the greatest `tieCol` per (key, ts).
+    */
+  def latestPerKeyTs(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCol, tsCol).orderBy(col(tieCol).desc)
+    df.select(col("*"), row_number().over(w).as("__rn"))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -233,6 +233,37 @@ class PipelineOpsSpec extends GraftSuite {
     assert(feats(2L).num_bytes == 0)
   }
 
+  test("as-of join: <= boundary, no-match nulls, latest-wins semantics") {
+    import graft.operators.Relational
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 50L, 200L))
+      .toDF("rk", "rt", "rid")
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 25L), (2L, 49L), (2L, 50L),
+        (3L, 100L))
+      .toDF("lk", "lt")
+    val got = Relational.asofJoin(left, right, "lk", "lt", "rk", "rt")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      (1L, 5L) -> None,        // before any right row
+      (1L, 10L) -> Some(100L), // equal ts matches (<= semantics)
+      (1L, 25L) -> Some(101L), // latest at-or-before wins
+      (2L, 49L) -> None,
+      (2L, 50L) -> Some(200L),
+      (3L, 100L) -> None,      // key absent from the right side
+    ), s"got $got")
+  }
+
+  test("latestPerKeyTs keeps exactly the max-tie row per (key, ts)") {
+    import graft.operators.Relational
+    val df = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 11L, 1L), (2L, 10L, 3L))
+      .toDF("k", "t", "id")
+    val got = Relational.latestPerKeyTs(df, "k", "t", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 9L), (1L, 11L, 1L), (2L, 10L, 3L)))
+  }
+
   test("generic cooccurrence operator: capped, weighted, oriented") {
     val rel = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L))
       .toDF("grp", "item")
