@@ -12,15 +12,16 @@ ROWS="${1:-16000000}"
 ITERS="${2:-10}"
 MEM="${SPARK_DRIVER_MEM:-48g}"
 OUT="${3:-/tmp/scaling}"
-MODE="${4:-}"        # comma-set: salted,declarative,shj
+MODE="${4:-}"        # comma-set: salted,spmv,declarative,shj
+MAXDEG="${5:-}"      # optional hub-chunk size (ScalingBench arg 5)
 PAIR="${PAIR:-8 32}" # "N 4N" core counts
 read -r N1 N2 <<<"$PAIR"
 mkdir -p "$OUT"
 for CORES in $N1 $N2; do
   LAST=$((CORES - 1))
-  echo "=== cores=$CORES rows=$ROWS iters=$ITERS mem=$MEM mode=$MODE (taskset 0-$LAST)"
+  echo "=== cores=$CORES rows=$ROWS iters=$ITERS mem=$MEM mode=$MODE maxdeg=$MAXDEG (taskset 0-$LAST)"
   SPARK_DRIVER_MEM="$MEM" taskset -c "0-$LAST" \
-    sbt -batch "runMain graft.ScalingBench $CORES $ROWS $ITERS $MODE" 2>&1 \
+    sbt -batch "runMain graft.ScalingBench $CORES $ROWS $ITERS $MODE $MAXDEG" 2>&1 \
     | grep -o '{"bench":"scaling".*}' | tee "$OUT/cores$CORES.json"
 done
 python3 - "$OUT" "$N1" "$N2" <<'EOF'

@@ -284,6 +284,9 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), Text.simhash64(col("text")).as("simhash"))
     },
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3, chunks = 4)),
     "q_lsh_ann" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(
