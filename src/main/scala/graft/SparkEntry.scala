@@ -218,6 +218,7 @@ object SparkEntry {
         Text.tokenCount(col("text")).cast("long").as("n_tokens"),
         Text.distinctTokenCount(col("text")).cast("long")
           .as("n_distinct_tokens"),
+        Text.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
         Text.punctCount(col("text")).cast("long").as("n_punct"),
         col("n_chars"),
       )
@@ -476,6 +477,7 @@ object SparkEntry {
         """SELECT doc_id,
           |  len(string_split_regex(text, '\s+')) AS n_tokens,
           |  len(list_distinct(string_split_regex(text, '\s+'))) AS n_distinct_tokens,
+          |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish,
           |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS BIGINT) AS n_punct,
           |  n_chars
           |FROM documents""".stripMargin,

@@ -19,6 +19,17 @@ object Text {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))
 
+  /** BPE-style pre-tokenizer count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the GPT-2 pre-tokenizer
+    * shape, ASCII classes only so the Java and RE2 dialects agree —
+    * tested identical against DuckDB on the corpus). A closer proxy for
+    * LLM token budgets than whitespace splitting.
+    */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** Count of tokens belonging to a stopword list. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
     val set = stopwords.map(lit(_))

@@ -198,6 +198,29 @@ class PipelineOpsSpec extends GraftSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF with a single bucket degenerates to exact brute force") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity
+      .ivfTopK(df, q, "vec_id", "embedding", 5, nlist = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == exact)
+  }
+
+  test("bpe-ish token count: letter runs, digit runs, single punct") {
+    val df = Seq(
+      (1L, "hello world42 foo-bar!"), // hello,world,42,foo,-,bar,! = 7
+      (2L, ""),
+      (3L, "a.b.c"), // a,.,b,.,c = 5
+    ).toDF("doc_id", "text")
+    val got = df
+      .select(col("doc_id"), Text.bpeishTokenCount(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 7, 2L -> 0, 3L -> 5), s"got $got")
+  }
+
   test("cosine near-dup candidates find planted near-identical vectors") {
     // two near-identical copies (0.1% jitter, cosine > 0.9999) planted
     // into the 3-cluster corpus; same-cluster strangers sit well below

@@ -65,6 +65,48 @@ class StreamingSpec extends GraftSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("streaming agg state survives a restart (checkpoint resume)") {
+    // two separate AvailableNow runs over the SAME checkpoint: run 2 only
+    // reads the files added after run 1 and must restore run 1's window
+    // state — the streaming analogue of the engine's snapshot resume
+    val dir = Files.createTempDirectory("graft-stream-resume").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val (first, second) = rows.splitAt(3)
+    def append(batch: Seq[(Long, Timestamp, String, Double)]): Unit =
+      batch.toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    append(first)
+    val schema = rows.toDF("event_id", "ts", "event_type", "value").schema
+    def runOnce(name: String): Unit = {
+      val q = Streams.windowedCounts(
+          spark.readStream.schema(schema).parquet(dir),
+          "ts", "event_type", "value")
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce("resume1")
+    append(second)
+    runOnce("resume2")
+    val got = spark.table("resume2")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val want = rows.toDF("event_id", "ts", "event_type", "value")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == want, s"resumed run lost state: got $got want $want")
+  }
+
   test("streaming dedup drops in-horizon duplicate ids, keeps first") {
     val dir = Files.createTempDirectory("graft-stream-dedup").toString
     val out = Streams.dedupByKey(
