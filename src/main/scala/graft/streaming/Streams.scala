@@ -33,6 +33,38 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Gap-based sessionization: consecutive events of one key belong to
+    * the same session while each is within `gap` of the previous; a
+    * longer silence closes the session. Built on the native
+    * `session_window` merging aggregation (Catalyst's
+    * UpdatingSessionsExec handles the merge state) rather than
+    * `flatMapGroupsWithState` — the built-in is codegen-planned,
+    * watermark-evicted, and identical in batch and streaming, so the
+    * custom-state API stays reserved for semantics it cannot express.
+    * Works on a batch OR a watermarked streaming frame.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      gap: String = "30 minutes",
+  ): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("double").as("sum_value"),
+      )
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol),
+        col("n_events"),
+        col("sum_value"),
+      )
+
   /** Watermarked tumbling-window aggregation — the streaming dual of the
     * batch q_events_hourly (count + exact decimal sum per (window, type)).
     */

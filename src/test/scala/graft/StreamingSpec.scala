@@ -65,6 +65,32 @@ class StreamingSpec extends GraftSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("streaming session windows == batch sessionization, gap semantics") {
+    val dir = Files.createTempDirectory("graft-stream-sess").toString
+    val out = Streams.sessionCounts(
+      streamFrom(dir).withWatermark("ts", "2 hours"),
+      "ts", "event_type", "value", gap = "10 minutes")
+    runToTable(out, "sess_counts", "complete")
+    def toMapped(df: DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4)))
+      .toMap
+    val got = toMapped(spark.table("sess_counts"))
+    val want = toMapped(Streams.sessionCounts(
+      rows.toDF("event_id", "ts", "event_type", "value"),
+      "ts", "event_type", "value", gap = "10 minutes"))
+    assert(got == want, s"got $got want $want")
+    // gap semantics, by hand: clicks at minutes {0,7} chain into one
+    // session ending 7+gap; the minute-62 click and the view pairs
+    // {3,5} / {64} form the other three
+    assert(got == Map(
+      (ts(0), ts(17), "click") -> ((2L, 2.0)),
+      (ts(62), ts(72), "click") -> ((1L, 3.0)),
+      (ts(3), ts(15), "view") -> ((2L, 6.5)),
+      (ts(64), ts(74), "view") -> ((1L, 2.0)),
+    ), s"got $got")
+  }
+
   test("streaming agg state survives a restart (checkpoint resume)") {
     // two separate AvailableNow runs over the SAME checkpoint: run 2 only
     // reads the files added after run 1 and must restore run 1's window
