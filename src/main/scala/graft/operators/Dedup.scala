@@ -136,10 +136,15 @@ object Dedup {
       col(idCol).as("id"),
       Text.simhash64(col(textCol)).as("sim"),
     )
-    val chunked = sigs.select(
-      col("id"),
-      col("sim"),
-      posexplode(Text.simhashChunks(col("sim"), chunks)),
+    // materialized ONCE (eager cut): both sides of the candidate
+    // self-join read it, and the per-token simhash bit-vote is the
+    // expensive part — same pattern as minhashPairs' banded keys
+    val chunked = Superstep.cut(
+      sigs.select(
+        col("id"),
+        col("sim"),
+        posexplode(Text.simhashChunks(col("sim"), chunks)),
+      )
     ) // -> pos, col
     chunked.as("a")
       .join(
