@@ -12,8 +12,10 @@ ROWS="${1:-16000000}"
 ITERS="${2:-10}"
 MEM="${SPARK_DRIVER_MEM:-48g}"
 OUT="${3:-/tmp/scaling}"
-MODE="${4:-}"        # comma-set: salted,spmv,declarative,shj
-MAXDEG="${5:-}"      # optional hub-chunk size (ScalingBench arg 5)
+MODE="${4:-none}"    # comma-set: salted,spmv,declarative,shj ('none' = default)
+MAXDEG="${5:-65536}" # hub-chunk size (ScalingBench arg 5); placeholder
+                     # values keep the positional args from collapsing
+                     # (empty $MODE would shift $MAXDEG into the mode slot)
 PAIR="${PAIR:-8 32}" # "N 4N" core counts
 read -r N1 N2 <<<"$PAIR"
 mkdir -p "$OUT"

@@ -96,8 +96,19 @@ final class ParquetSnapshotStore(root: String, runId: String)
     val mFinal = new Path(base, f"manifest-$iteration%08d.json")
     if (f.exists(mFinal)) f.delete(mFinal, false)
     require(f.rename(mTmp, mFinal), s"rename failed: $mTmp -> $mFinal")
-    // committed — earlier attempts of this iteration are now unreferenced
-    (0 until attempt).foreach(a => f.delete(dataDirFor(base, iteration, a), true))
+    // committed — every other attempt dir of this iteration is now
+    // unreferenced (not just lower-numbered ones: a crash-resume sequence
+    // like write(a0), write(a1), crash, write(a0) would otherwise leave a
+    // stale higher-numbered dir leaking disk until the next write)
+    val keep = dataDir.getName
+    f.listStatus(base)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n != keep &&
+        (n == s"iter-$iteration" || n.startsWith(s"iter-$iteration-a"))
+      }
+      .foreach(p => f.delete(p, true))
     snap
   }
 

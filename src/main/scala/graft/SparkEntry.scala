@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.algos.{LabelProp, PageRank, Triangles, Wcc}
-import graft.functions.Text
+import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -83,20 +83,22 @@ object SparkEntry {
     },
     "q_tri_pervertex" -> ((s, d) =>
       Triangles.run(partEdgeDs(s, d)).perVertex),
-    // ranks are rounded to 7 decimals THROUGH A DECIMAL STRING on both
-    // sides (format_string / printf are both correctly-rounded, and no
-    // float64 lands exactly on a half-way point at 7 decimals): raw
+    // ranks are compared as round(rank*1e7) BIGINTs on both sides: raw
     // float64 ranks differ across engines in the last ulps (shuffle
-    // reduction order), which would break the driver's hash compare
+    // reduction order), and decimal STRINGS are halfway-unsafe (Java
+    // format_string rounds HALF_UP, DuckDB printf half-to-even, and
+    // doubles like 2^-8 DO land exactly on a 7-decimal halfway point).
+    // Both engines' numeric round() on DOUBLE is half-away-from-zero
+    // (verified), so the integer quantization agrees even at halfway.
     "q_pagerank_top20" -> { (s, d) =>
       PageRank
         .run(partEdgeDs(s, d), PrConfig(tol = 0.0, maxIter = 8))
         .ranks.toDF()
         .select(
           col("vid"),
-          format_string("%.7f", col("rank")).cast("double").as("rank"),
+          round(col("rank") * 1e7, 0).cast("long").as("rank_e7"),
         )
-        .orderBy(col("rank").desc, col("vid"))
+        .orderBy(col("rank_e7").desc, col("vid"))
         .limit(20)
     },
     "q_wcc_sizes" -> { (s, d) =>
@@ -268,8 +270,13 @@ object SparkEntry {
           col("frames_sampled").cast("long").as("frames_sampled"),
         )
     },
-    // ---- non-SQL-expressible (xxhash64 sketches, LSH) —
-    //      rows-only driver check; correctness via scalatest oracles ----
+    // ---- sketch pipelines (minhash/simhash/LSH/IVF), run in PORTABLE
+    //      hash mode (Hash64.Portable: md5-derived 60-bit hash both
+    //      engines compute bit-identically) so the driver hash-checks the
+    //      FULL pipeline — banding, candidate joins, bucket routing,
+    //      verify — against a DuckDB oracle. Production default stays
+    //      xxhash64 (same code path modulo the hash expression; the
+    //      scalatest oracle suites cover that mode). ----
     // threshold 0.5 (the operator default): lshParams gives r=3/b=10
     // banding — honest recall at the threshold AND a random-pair
     // candidate rate of ~10·j³, which keeps the candidate join linear-ish.
@@ -280,14 +287,14 @@ object SparkEntry {
     // either way.)
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.5)),
-    "q_simhash" -> { (s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), Text.simhash64(col("text")).as("simhash"))
-    },
+        threshold = 0.5, hash = Hash64.Portable)),
+    "q_simhash" -> ((s, d) =>
+      Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text",
+        Hash64.Portable)
+        .select(col("id").as("doc_id"), col("sim").as("simhash"))),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3, chunks = 4)),
+        maxHamming = 3, chunks = 4, hash = Hash64.Portable)),
     "q_lsh_ann" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(
@@ -297,6 +304,7 @@ object SparkEntry {
         "embedding",
         k = 5,
         bandBits = 4,
+        hash = Hash64.Portable,
       )
     },
     "q_ivf_ann" -> { (s, d) =>
@@ -309,6 +317,7 @@ object SparkEntry {
         k = 5,
         nlist = 16,
         nprobe = 4,
+        hash = Hash64.Portable,
       )
     },
   )
@@ -317,6 +326,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = {
+    // DuckDB mirror of Hash64.Portable (kept in Hash64.duckdb so the two
+    // forms can only drift together)
+    def ph(e: String): String = Hash64.duckdb(e)
     // MATERIALIZED: DuckDB inlines plain CTEs per reference; the unrolled
     // iterative oracles below reference each CTE 2-3x per iteration,
     // which goes exponential over 8 chained iterations without it
@@ -407,9 +419,9 @@ object SparkEntry {
            |r0 AS MATERIALIZED (
            |  SELECT vid, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM v),
            |$prChain
-           |SELECT vid, CAST(printf('%.7f', rank) AS DOUBLE) AS rank
+           |SELECT vid, CAST(round(rank * 1e7) AS BIGINT) AS rank_e7
            |FROM r8
-           |ORDER BY CAST(printf('%.7f', rank) AS DOUBLE) DESC, vid
+           |ORDER BY CAST(round(rank * 1e7) AS BIGINT) DESC, vid
            |LIMIT 20""".stripMargin,
       "q_tri_pervertex" ->
         s"""WITH $edgesCte,
@@ -504,15 +516,139 @@ object SparkEntry {
           |  sha256(array_to_string(list_sort(list_distinct(
           |    string_split_regex(lower(text), '\s+'))), ' ')) AS fp
           |FROM documents""".stripMargin,
+      // mirrors Dedup.jaccardPairsWithin's block cap (maxBlock=4096):
+      // all-pairs over each block's 4096 smallest ids, plus overflow
+      // members vs the block representative (rn=1 = min id) only
       "q_jaccard_pairs" ->
         """WITH t AS (SELECT doc_id, source,
-          |  list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+          |  list_distinct(string_split_regex(lower(text), '\s+')) AS toks,
+          |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
           |FROM documents)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_cnt,
           |  CAST(len(a.toks) + len(b.toks)
           |    - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS union_cnt
-          |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+          |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+          |  AND ((a.rn <= 4096 AND b.rn <= 4096)
+          |       OR (a.rn = 1 AND b.rn > 4096))""".stripMargin,
+      // ---- sketch-pipeline oracles: the engine runs these queries in
+      // Hash64.Portable mode, and ph() below is the DuckDB mirror of
+      // that hash (md5-derived 60-bit), so every hash, band key, bucket
+      // and centroid routes IDENTICALLY in both engines ----
+      "q_simhash" ->
+        s"""WITH tk AS (SELECT doc_id,
+           |  unnest(string_split_regex(lower(text), '\\s+')) AS t
+           |FROM documents),
+           |hs AS (SELECT doc_id, ${ph("t")} AS h FROM tk),
+           |votes AS (SELECT doc_id, r.b AS b,
+           |    sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM hs CROSS JOIN range(64) r(b) GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CAST(sum(CASE WHEN v > 0 THEN
+           |    (CASE WHEN b >= 60 THEN 0::BIGINT ELSE (1::BIGINT << b) END)
+           |    ELSE 0::BIGINT END) AS BIGINT) AS simhash
+           |FROM votes GROUP BY 1""".stripMargin,
+      "q_simhash_pairs" ->
+        s"""WITH tk AS (SELECT doc_id,
+           |  unnest(string_split_regex(lower(text), '\\s+')) AS t
+           |FROM documents),
+           |hs AS (SELECT doc_id, ${ph("t")} AS h FROM tk),
+           |votes AS (SELECT doc_id, r.b AS b,
+           |    sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM hs CROSS JOIN range(64) r(b) GROUP BY 1, 2),
+           |sims AS (SELECT doc_id,
+           |  CAST(sum(CASE WHEN v > 0 THEN
+           |    (CASE WHEN b >= 60 THEN 0::BIGINT ELSE (1::BIGINT << b) END)
+           |    ELSE 0::BIGINT END) AS BIGINT) AS sim
+           |  FROM votes GROUP BY 1),
+           |chunked AS (SELECT doc_id, sim, c.c AS pos,
+           |    (sim >> CAST(c.c * 16 AS INT)) & 65535 AS val
+           |  FROM sims CROSS JOIN range(4) c(c)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+           |  FROM chunked a JOIN chunked b
+           |    ON a.pos = b.pos AND a.val = b.val AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
+      "q_minhash_pairs" ->
+        s"""WITH tks AS (SELECT doc_id,
+           |  string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+           |shg AS (SELECT doc_id,
+           |    list_distinct(CASE WHEN len(tk) < 3
+           |      THEN [array_to_string(tk, ' ')]
+           |      ELSE list_transform(generate_series(1, len(tk) - 2),
+           |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+           |  FROM tks),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+           |sig AS (SELECT doc_id, r.h AS h,
+           |    min(${ph("s || '#' || r.h")}) AS m
+           |  FROM ex CROSS JOIN range(30) r(h) GROUP BY 1, 2),
+           |bnd AS (SELECT doc_id, h // 3 AS b,
+           |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY h) AS bs
+           |  FROM sig GROUP BY 1, 2),
+           |keys AS (SELECT doc_id, ${ph("bs || '#' || b")} AS band FROM bnd),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM keys a JOIN keys b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |jv AS (SELECT id_a, id_b,
+           |    len(list_intersect(sa.sh, sb.sh)) AS i,
+           |    len(sa.sh) + len(sb.sh)
+           |      - len(list_intersect(sa.sh, sb.sh)) AS u
+           |  FROM cand JOIN shg sa ON sa.doc_id = cand.id_a
+           |  JOIN shg sb ON sb.doc_id = cand.id_b)
+           |SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+           |FROM jv WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5""".stripMargin,
+      "q_lsh_ann" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |ed AS (SELECT vec_id, v,
+           |  unnest(generate_series(1, len(v))) AS d FROM e),
+           |comp AS (SELECT vec_id, r.i AS i,
+           |    sum(CASE WHEN (${ph("r.i || ',' || (d - 1)")}) & 1 = 1
+           |      THEN v[d] ELSE -v[d] END) AS dot
+           |  FROM ed CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+           |bk AS (SELECT vec_id,
+           |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i)
+           |      ELSE 0::BIGINT END) AS BIGINT) AS bucket
+           |  FROM comp GROUP BY 1),
+           |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+           |  FROM bk q JOIN bk c ON q.bucket = c.bucket
+           |  JOIN e qe ON qe.vec_id = q.vec_id
+           |  JOIN e ce ON ce.vec_id = c.vec_id
+           |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+           |SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM scored) WHERE rnk <= 5""".stripMargin,
+      "q_ivf_ann" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |cents AS (SELECT vec_id AS cent, v AS cv FROM e
+           |  ORDER BY ${ph("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+           |asg AS (SELECT vec_id, cent FROM (
+           |  SELECT e.vec_id, c.cent,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(-list_cosine_similarity(e.v, c.cv), 6),
+           |               c.cent) AS rn
+           |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+           |probes AS (SELECT vec_id AS query_id, cent FROM (
+           |  SELECT e.vec_id, c.cent,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(-list_cosine_similarity(e.v, c.cv), 6),
+           |               c.cent) AS rn
+           |  FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 4),
+           |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+           |  FROM probes p JOIN asg a ON a.cent = p.cent
+           |  JOIN e qe ON qe.vec_id = p.query_id
+           |  JOIN e ce ON ce.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.query_id)
+           |SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM scored) WHERE rnk <= 5""".stripMargin,
       // sims are rounded to 6 decimals on BOTH sides before ranking:
       // raw float64 cosines differ in the last ulp across engines
       // (reduction order), which near a tie would flip row_number ranks

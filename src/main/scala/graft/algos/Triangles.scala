@@ -86,7 +86,20 @@ object Triangles {
       und.unpersist(false)
       oriented.unpersist(false)
       adj.unpersist(false)
-      return TriResult(global, edges.sparkSession.emptyDataFrame)
+      // typed empty frame, not emptyDataFrame: callers that uniformly
+      // select vid/triangles must get an empty relation, not an
+      // AnalysisException on a schema-less one
+      val emptyPerVertex = spark
+        .createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vid",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("triangles",
+              org.apache.spark.sql.types.LongType, nullable = false),
+          )),
+        )
+      return TriResult(global, emptyPerVertex)
     }
     val tri = triBase
       .select(

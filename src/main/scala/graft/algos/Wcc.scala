@@ -18,8 +18,10 @@ final case class WccResult(comps: Dataset[CompState], iterations: Int)
   *   - `pointerJump = false`: plain min-label propagation — one message
   *     shuffle per round, O(diameter) rounds. The obviously-correct
   *     baseline and the cross-check for the accelerated path.
-  *   - `pointerJump = true` (default): min-label + per-round pointer
+  *   - `pointerJump = true` (default): min-label + ADAPTIVE pointer
   *     jumping, comp'(v) = comp(comp(v)) — the HashToMin-style doubling
+  *     activated only when plain rounds stop collapsing `changed`
+  *     geometrically (see the loop comment; O(log n) bound preserved)
   *     (Rastogi et al., "Finding Connected Components in MapReduce")
   *     that converges in O(log n) rounds on ANY diameter. Chosen over
   *     Kiveris large-star/small-star because it reuses the engine's CSR
@@ -28,7 +30,13 @@ final case class WccResult(comps: Dataset[CompState], iterations: Int)
   *     per round), with the same O(log n) round bound.
   *
   * Pointer-jump skew/scale shape: the jump lookup is restricted to the
-  * CURRENT COMP IMAGE (distinct comp values, monotonically shrinking). In
+  * CURRENT COMP IMAGE (distinct comp values). The image never grows
+  * round over round — not an assumption but structural: every comp value
+  * of round i+1 is `least(prev, min-of-neighbor-prevs)` or a looked-up
+  * comp of such a value, i.e. ALWAYS an element of round i's image, so
+  * image(i+1) ⊆ image(i) as sets. Round i's measured
+  * approx_count_distinct therefore upper-bounds round i+1's lookup size
+  * up to approx error only (~2% rsd), which the 2x slack below covers. In
   * the endgame — exactly when components collapse and the comp key becomes
   * skewed — the image is small, so the lookup is BROADCAST and the jump
   * costs no shuffle at all; the broadcast decision uses the previous
@@ -79,10 +87,40 @@ object Wcc {
         Superstep.cut(Superstep.vertices(sym), adjCount)
           .select(col("vid"), col("vid").as("comp"))
     }
-    var changed = 1L
+    var changed = 1L // loop control; sentinel 1 to enter
     var img = Long.MaxValue // comp-image size upper bound (prev round)
+    // ADAPTIVE jump activation: pointer jumping costs ~2 extra small jobs
+    // and (when not broadcast) two extra shuffles per round — pure
+    // overhead on low-diameter graphs where plain min-label already
+    // collapses `changed` geometrically. Jump only once `changed` stops
+    // halving round-over-round (slow front propagation = long chains).
+    // The O(log n) round bound SURVIVES the adaptation: while the trigger
+    // keeps failing, changed <= prevChanged/2 every round, so after
+    // <= log2(|V|) plain rounds changed hits 0 (converged) or the ratio
+    // trips (changed stagnant) and jumping takes over with its own
+    // O(log n) doubling; once tripped it stays on (sticky).
+    // chHist = (changed at round i, at round i-1), -1 = not yet measured.
+    // The trigger state rides in the snapshot metrics so a RESUMED run
+    // replays the exact trajectory the straight run would have taken
+    // (CheckpointSpec pins resumed == straight - prefix).
+    var chHist = (-1L, -1L)
+    var jumpOn = false
+    resumed.foreach { case (snap, _) =>
+      changed = snap.metrics.getOrElse("changed", 1.0).toLong
+      chHist = (
+        snap.metrics.getOrElse("changed", -1.0).toLong,
+        snap.metrics.getOrElse("prevChanged", -1.0).toLong,
+      )
+      jumpOn = snap.metrics.getOrElse("jumpOn", 0.0) > 0
+      // restore the broadcast-decision bound too (plan parity with the
+      // straight run; infinity → Long.MaxValue → no broadcast, safe)
+      img = (snap.metrics.getOrElse("compImageApprox", Double.MaxValue) * 2)
+        .toLong
+    }
     while (iter < maxIter && changed > 0) {
       val t0 = System.nanoTime()
+      if (pointerJump && !jumpOn && chHist._1 >= 0 && chHist._2 >= 0 &&
+        chHist._1 * 2 > chHist._2) jumpOn = true
       val msgs = Superstep.scatter(adj, state)
         .groupBy("vid").agg(min("comp").as("mc"))
       val half = state.join(msgs, Seq("vid"), "left_outer")
@@ -91,7 +129,7 @@ object Wcc {
           least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"),
           col("comp").as("oldComp"),
         )
-      val next = if (!pointerJump) half
+      val next = if (!jumpOn) half
       else {
         // half feeds the jump twice (probe + lookup): materialize once
         val h = Superstep.cut(half, adjCount)
@@ -124,6 +162,7 @@ object Wcc {
         approx_count_distinct(col("comp")),
       ).head()
       changed = stats.getLong(0)
+      chHist = (changed, chHist._1)
       // approx (~2% rsd) is plenty for a broadcast-threshold decision;
       // 2x slack below keeps the decision safe against the estimate error
       img = (stats.getLong(1) * 2) min Long.MaxValue
@@ -137,6 +176,8 @@ object Wcc {
           state,
           Map(
             "changed" -> changed.toDouble,
+            "prevChanged" -> chHist._2.toDouble,
+            "jumpOn" -> (if (jumpOn) 1.0 else 0.0),
             "compImageApprox" -> stats.getLong(1).toDouble,
             "seconds" -> secs,
             "numPartitions" -> p.toDouble,

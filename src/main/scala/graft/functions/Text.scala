@@ -96,20 +96,41 @@ object Text {
     * its hot path. Keep this form for per-row signature columns on small
     * inputs; use the explode+agg form in pipelines.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  def minhashSignature(
+      shingleCol: Column,
+      numHashes: Int,
+      hash: Hash64 = Hash64.Xx,
+  ): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingleCol, s => xxhash64(s, h))),
+      h => array_min(transform(shingleCol, s => hash.seeded(s, h))),
     )
 
   /** LSH band keys from a minhash signature: hash of each band of
     * `rowsPerBand` consecutive signature entries. Docs sharing ANY band
-    * key are near-duplicate candidates.
+    * key are near-duplicate candidates. The band is hashed through its
+    * canonical comma-joined decimal string so the SAME form serves both
+    * hash modes (band keys are internal — only their equality matters).
     */
-  def bandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
+  def bandKeys(
+      sig: Column,
+      numHashes: Int,
+      rowsPerBand: Int,
+      hash: Hash64 = Hash64.Xx,
+  ): Column =
     transform(
       sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
-      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b),
+      b =>
+        hash.seeded(
+          concat_ws(
+            ",",
+            transform(
+              slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+              v => v.cast("string"),
+            ),
+          ),
+          b,
+        ),
     )
 
   /** Bit b (as 0/1 Long) of a Long column; shift amount may be a Column
@@ -121,7 +142,7 @@ object Text {
   /** 64-bit SimHash over the token multiset: bit b is set iff the sum of
     * ±1 votes (bit b of each token's xxhash64) is positive.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column, hash: Hash64 = Hash64.Xx): Column = {
     val toks = tokens(lower(text))
     val powers = lit((0 until 64).map(i => 1L << i).toArray)
     val bits = transform(
@@ -132,7 +153,7 @@ object Text {
             toks,
             lit(0L),
             (acc, t) =>
-              acc + when(bitAt(xxhash64(t), b) === 1L, lit(1L))
+              acc + when(bitAt(hash.one(t), b) === 1L, lit(1L))
                 .otherwise(lit(-1L)),
           ) > 0,
           lit(1L),

@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.Superstep
-import graft.functions.Text
+import graft.functions.{Hash64, Text}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline layer.
@@ -65,6 +66,7 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 32,
       threshold: Double = 0.5,
+      hash: Hash64 = Hash64.Xx,
   ): DataFrame = {
     val (rowsPerBand, bands) = lshParams(numHashes, threshold)
     val sigLen = rowsPerBand * bands
@@ -84,7 +86,7 @@ object Dedup {
     // measured 8x slower on the same corpus. (minhash semantics identical:
     // min over shingles of xxhash64(shingle, h) per hash index h.)
     val minCols = (0 until sigLen)
-      .map(h => min(xxhash64(col("s"), lit(h))).as(s"m$h"))
+      .map(h => min(hash.seeded(col("s"), h)).as(s"m$h"))
     val sigs = sh
       .select(col("id"), explode(col("sh")).as("s"))
       .groupBy("id")
@@ -96,7 +98,7 @@ object Dedup {
     val banded = Superstep.cut(
       sigs.select(
         col("id"),
-        explode(Text.bandKeys(sigArr, sigLen, rowsPerBand)).as("band"),
+        explode(Text.bandKeys(sigArr, sigLen, rowsPerBand, hash)).as("band"),
       )
     )
     val cand = banded.as("a")
@@ -120,6 +122,44 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Per-doc 64-bit SimHash signatures on the CODEGEN path: explode
+    * tokens → 64 conditional ±1 sum aggregates → bit-pack with an OR
+    * chain. Semantics identical to the per-row [[Text.simhash64]]
+    * (spec-asserted for both hash modes) — but that nested
+    * aggregate-in-transform form is CodegenFallback (interpreted); this
+    * form stays inside whole-stage codegen end to end, the same trick
+    * already measured ~8x faster for [[minhashPairs]]' signatures.
+    * Returns (id, sim).
+    */
+  def simhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    // split() of any string yields >= 1 token ("" for empty text), so the
+    // explode never drops a document
+    val hashed = docs
+      .select(
+        col(idCol).as("id"),
+        explode(Text.tokens(lower(col(textCol)))).as("t"),
+      )
+      .select(col("id"), hash.one(col("t")).as("h"))
+    val voteCols = (0 until 64).map { b =>
+      sum(
+        when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L))
+      ).as(s"v$b")
+    }
+    val votes = hashed.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    // bit-pack via an OR chain, NOT a sum: 1L << 63 is Long.MinValue and
+    // an ANSI-mode sum would overflow; OR matches Text.simhash64 exactly
+    val sim = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    votes.select(col("id"), sim.as("sim"))
+  }
+
   /** SimHash near-duplicate pairs within a hamming radius. Complete for
     * radius < chunks by the pigeonhole principle (see
     * [[Text.simhashChunks]]); candidates join on (chunkIndex, chunkValue).
@@ -130,12 +170,10 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       chunks: Int = 4,
+      hash: Hash64 = Hash64.Xx,
   ): DataFrame = {
     require(maxHamming < chunks, "completeness needs maxHamming < chunks")
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      Text.simhash64(col(textCol)).as("sim"),
-    )
+    val sigs = simhashSignatures(docs, idCol, textCol, hash)
     // materialized ONCE (eager cut): both sides of the candidate
     // self-join read it, and the per-token simhash bit-vote is the
     // expensive part — same pattern as minhashPairs' banded keys
@@ -164,29 +202,60 @@ object Dedup {
   /** Exact token-set Jaccard for every doc pair within a blocking key
     * (e.g. same source) — integer intersect/union counts only, so the
     * result is exactly reproducible in any engine.
+    *
+    * Block-size cap (the [[graft.EdgeBuilder]] `maxGroup` policy adapted
+    * to similarity semantics): all-pairs is quadratic in block size, so
+    * one unbounded key would melt a 100 TB run. Blocks larger than
+    * `maxBlock` contribute (a) all-pairs over their `maxBlock` SMALLEST
+    * ids and (b) one comparison per overflow member against the block
+    * REPRESENTATIVE (its min id) — O(block) for the tail, every doc still
+    * compared at least once, fully deterministic and SQL-expressible
+    * (mirrored in the driver oracle).
     */
   def jaccardPairsWithin(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: String,
+      maxBlock: Int = 4096,
   ): DataFrame = {
     val t = docs.select(
       col(blockCol).as("blk"),
       col(idCol).as("id"),
       array_distinct(Text.tokens(lower(col(textCol)))).as("toks"),
     )
-    val inter = size(array_intersect(col("a.toks"), col("b.toks")))
-    t.as("a")
-      .join(t.as("b"), col("a.blk") === col("b.blk") &&
-        col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("doc_a"),
-        col("b.id").as("doc_b"),
-        inter.cast("long").as("inter_cnt"),
-        (size(col("a.toks")) + size(col("b.toks")) - inter)
-          .cast("long")
-          .as("union_cnt"),
+    // materialized ONCE: the rank feeds both self-join sides plus the
+    // overflow branch — recomputing the window per consumer would
+    // re-shuffle the token arrays three times
+    val ranked = Superstep.cut(
+      t.select(
+        col("blk"),
+        col("id"),
+        col("toks"),
+        row_number()
+          .over(Window.partitionBy("blk").orderBy("id"))
+          .as("rn"),
       )
+    )
+    def jac(a: DataFrame, b: DataFrame) = {
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      a.as("a")
+        .join(b.as("b"), col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+        .select(
+          col("a.id").as("doc_a"),
+          col("b.id").as("doc_b"),
+          inter.cast("long").as("inter_cnt"),
+          (size(col("a.toks")) + size(col("b.toks")) - inter)
+            .cast("long")
+            .as("union_cnt"),
+        )
+    }
+    val core = ranked.where(col("rn") <= maxBlock)
+    // representative = rn 1 = the block's min id, so rep.id < member.id
+    // always holds and jac()'s orientation filter keeps every pair
+    val reps = ranked.where(col("rn") === 1)
+    val overflow = ranked.where(col("rn") > maxBlock)
+    jac(core, core).unionByName(jac(reps, overflow))
   }
 }

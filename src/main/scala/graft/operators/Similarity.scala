@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Hash64
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,9 +78,10 @@ object Similarity {
   }
 
   /** Sign-random-projection bits: bit i = [dot(v, h_i) > 0] where h_i is a
-    * deterministic ±1 hyperplane (sign of xxhash64(i, dim)).
+    * deterministic ±1 hyperplane (sign of hash(i, dim) — xxhash64 by
+    * default, the md5-derived portable hash in oracle mode).
     */
-  def srpBits(vec: Column, numBits: Int): Column =
+  def srpBits(vec: Column, numBits: Int, hash: Hash64 = Hash64.Xx): Column =
     transform(
       sequence(lit(0), lit(numBits - 1)),
       i =>
@@ -89,7 +91,7 @@ object Similarity {
               vec,
               sequence(lit(0), size(vec) - 1),
               (x, d) =>
-                when(xxhash64(i, d).bitwiseAND(lit(1L)) === 1L, x)
+                when(hash.pair(i, d).bitwiseAND(lit(1L)) === 1L, x)
                   .otherwise(-x),
             ),
             lit(0.0),
@@ -100,10 +102,11 @@ object Similarity {
     )
 
   /** Bucket key from the first `bandBits` SRP bits. */
-  def srpBucket(vec: Column, bandBits: Int): Column =
+  def srpBucket(vec: Column, bandBits: Int, hash: Hash64 = Hash64.Xx)
+      : Column =
     aggregate(
       zip_with(
-        srpBits(vec, bandBits),
+        srpBits(vec, bandBits, hash),
         lit((0 until bandBits).map(i => 1L << i).toArray),
         (b, p) => b * p,
       ),
@@ -124,16 +127,17 @@ object Similarity {
       k: Int,
       bandBits: Int = 8,
       simDecimals: Int = 6,
+      hash: Hash64 = Hash64.Xx,
   ): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cvec"),
-      srpBucket(asDouble(col(vecCol)), bandBits).as("bucket"),
+      srpBucket(asDouble(col(vecCol)), bandBits, hash).as("bucket"),
     )
     val q = queries.select(
       col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qvec"),
-      srpBucket(asDouble(col(vecCol)), bandBits).as("bucket"),
+      srpBucket(asDouble(col(vecCol)), bandBits, hash).as("bucket"),
     )
     val scored = c
       .join(broadcast(q), Seq("bucket"))
@@ -154,7 +158,7 @@ object Similarity {
   /** IVF (inverted-file) ANN: the second scale path beside [[lshTopK]].
     *
     * Build: `nlist` centroids are picked DETERMINISTICALLY — the corpus
-    * vectors with the smallest xxhash64(id) (a reproducible pseudo-random
+    * vectors with the smallest hash(id) (a reproducible pseudo-random
     * sample; no RNG state, no MLlib dependency) — and every corpus vector
     * is assigned to its nearest centroid (one broadcast-join + argmin
     * pass, the classic IVF coarse quantizer with 0 Lloyd refinements).
@@ -175,6 +179,7 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       simDecimals: Int = 6,
+      hash: Hash64 = Hash64.Xx,
   ): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
     val c = corpus.select(
@@ -182,37 +187,33 @@ object Similarity {
       asDouble(col(vecCol)).as("cvec"),
     )
     val cents = c
-      .orderBy(xxhash64(col("cid_")), col("cid_"))
+      .orderBy(hash.one(col("cid_")), col("cid_"))
       .limit(nlist)
       .select(col("cid_").as("cent"), col("cvec").as("centvec"))
-    // nearest-centroid assignment: broadcast the tiny centroid table,
-    // argmin via min(struct(dist, cent)) — negative cosine as distance
-    def nearest(side: DataFrame, id: String, vec: String, keep: Int) = {
-      val scored = side
+    val bucketed = assignToNearestCentroid(c, "cid_", "cvec", cents,
+      simDecimals)
+      .select(col("cid_").as("neighbor_id"), col("cvec"), col("cent"))
+    // query-side probes: top-nprobe centroids per query. The window is
+    // fine HERE — the expansion is |Q|·nlist and |Q| is the small side.
+    val probes = {
+      val scored = queries
+        .select(
+          col(idCol).as("query_id"),
+          asDouble(col(vecCol)).as("qvec"),
+        )
         .join(broadcast(cents))
         .select(
-          col(id),
-          col(vec),
+          col("query_id"),
+          col("qvec"),
           col("cent"),
-          round(-cosine(col(vec), col("centvec")), simDecimals).as("cd"),
+          round(-cosine(col("qvec"), col("centvec")), simDecimals).as("cd"),
         )
-      val w = Window.partitionBy(id).orderBy(col("cd"), col("cent"))
+      val w = Window.partitionBy("query_id").orderBy(col("cd"), col("cent"))
       scored
         .select(col("*"), row_number().over(w).as("crnk"))
-        .where(col("crnk") <= keep)
+        .where(col("crnk") <= nprobe)
         .drop("cd", "crnk")
     }
-    val bucketed = nearest(c, "cid_", "cvec", 1)
-      .select(col("cid_").as("neighbor_id"), col("cvec"), col("cent"))
-    val probes = nearest(
-      queries.select(
-        col(idCol).as("query_id"),
-        asDouble(col(vecCol)).as("qvec"),
-      ),
-      "query_id",
-      "qvec",
-      nprobe,
-    )
     val scored = bucketed
       .join(broadcast(probes), Seq("cent"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -229,6 +230,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long"))
   }
 
+  /** Nearest-centroid assignment for the CORPUS side of IVF: broadcast
+    * the tiny centroid table against every corpus vector, then argmin via
+    * `min(struct(cd, cent, vec))` — struct ordering is lexicographic and
+    * (cd, cent) is unique per candidate, so this picks exactly the
+    * (smallest distance, smallest centroid id) row, identical to a
+    * row_number()-over-window keep=1. Unlike the window, min() partial-
+    * aggregates MAP-SIDE: the one exchange carries |C| combined rows, not
+    * the |C|·nlist broadcast-join expansion a window's sort-exchange
+    * would (thousands× the corpus at design-scale nlist — the 100 TB
+    * killer). Plan shape pinned in PlanShapeSpec.
+    */
+  private[graft] def assignToNearestCentroid(
+      side: DataFrame,
+      id: String,
+      vec: String,
+      cents: DataFrame,
+      simDecimals: Int,
+  ): DataFrame =
+    side
+      .join(broadcast(cents))
+      .select(
+        col(id),
+        col(vec),
+        col("cent"),
+        round(-cosine(col(vec), col("centvec")), simDecimals).as("cd"),
+      )
+      .groupBy(col(id))
+      .agg(min(struct(col("cd"), col("cent"), col(vec))).as("m"))
+      .select(col(id), col("m.cent").as("cent"), col(s"m.$vec").as(vec))
+
   /** Exact cosine near-duplicate pairs: all corpus pairs with
     * cosine >= threshold, bucketed by SRP band first so the pair join is
     * band-local (near-identical vectors agree on all bits with high
@@ -240,11 +271,12 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       bandBits: Int = 8,
+      hash: Hash64 = Hash64.Xx,
   ): DataFrame = {
     val c = corpus.select(
       col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec"),
-      srpBucket(asDouble(col(vecCol)), bandBits).as("bucket"),
+      srpBucket(asDouble(col(vecCol)), bandBits, hash).as("bucket"),
     )
     c.as("a")
       .join(c.as("b"), col("a.bucket") === col("b.bucket") &&

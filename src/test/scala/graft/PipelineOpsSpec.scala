@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Text
+import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, FakeDecoder, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
@@ -103,6 +103,83 @@ class PipelineOpsSpec extends GraftSuite {
       a <- sigs.keys; b <- sigs.keys if a < b && ham(a, b) <= 3
     } yield (a, b)).toSet
     assert(got == want, s"got $got want $want")
+  }
+
+  test("portable hash matches DuckDB goldens (cross-engine pin)") {
+    // goldens computed with DuckDB 1.0:
+    //   SELECT ('0x' || substr(md5(s), 18, 15))::BIGINT
+    // — this is THE contract that lets the driver oracle hash-check the
+    // sketch pipelines; if Hash64.Portable drifts, this fails first
+    val goldens = Seq(
+      "a" -> 127114412207580769L,
+      "hello world" -> 273350391345368515L,
+      "tok#7" -> 814623608877174431L,
+      "" -> 684557695775687294L,
+      "42" -> 596182022165911718L,
+      "-17" -> 706164602908648651L,
+      "m1,m2,m3#4" -> 201886213106565511L,
+      "ünïcode" -> 989715036083458596L,
+    )
+    val got = spark
+      .createDataset(goldens.map(_._1))
+      .select(Hash64.Portable.one(col("value")).as("h"))
+      .collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == goldens.map(_._2))
+    // seeded + long forms route through the same string canon
+    val seeded = spark.range(1)
+      .select(
+        Hash64.Portable.seeded(lit("tok"), 7).as("s"),
+        Hash64.Portable.one(lit(42L)).as("l"),
+        Hash64.Portable.one(lit(-17L)).as("n"),
+      )
+      .head()
+    assert(seeded.getLong(0) == 814623608877174431L) // = hash("tok#7")
+    assert(seeded.getLong(1) == 596182022165911718L) // = hash("42")
+    assert(seeded.getLong(2) == 706164602908648651L) // = hash("-17")
+  }
+
+  test("codegen simhash signatures == per-row simhash64, both hash modes") {
+    for (h <- Seq[Hash64](Hash64.Xx, Hash64.Portable)) {
+      val fast = Dedup.simhashSignatures(docsDf, "doc_id", "text", h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = docsDf
+        .select(col("doc_id"), Text.simhash64(col("text"), h).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow, s"mode $h")
+      if (h == Hash64.Portable)
+        // 60-bit hash => bits 60..63 never get a positive vote
+        assert(fast.values.forall(s => (s >>> 60) == 0L))
+    }
+    // empty / whitespace-only text must not drop out of the explode path
+    val edge = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val fastE = Dedup.simhashSignatures(edge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slowE = edge
+      .select(col("doc_id"), Text.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastE == slowE && fastE.size == 2)
+  }
+
+  test("jaccard block cap: all-pairs core + representative-only tail") {
+    val block = (0L until 10L)
+      .map(i => (i, s"tok$i common shared words", "big"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup
+      .jaccardPairsWithin(block, "doc_id", "text", "source", maxBlock = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    // C(4,2) = 6 core pairs over ids 0..3, + 6 overflow ids (4..9) each
+    // paired with the representative (min id 0) only
+    val core = for { a <- 0L until 4L; b <- (a + 1) until 4L } yield (a, b)
+    val tail = (4L until 10L).map(i => (0L, i))
+    assert(pairs.toSeq == (core ++ tail).sorted)
+    // default cap leaves small blocks untouched (hash-match contract)
+    val uncapped = Dedup
+      .jaccardPairsWithin(block, "doc_id", "text", "source")
+      .count()
+    assert(uncapped == 45) // C(10,2)
   }
 
   test("jaccard pairs: integer counts match plain-Scala set math") {

@@ -87,6 +87,33 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("IVF corpus assignment: map-side argmin, no window, one shuffle") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      // key must not be provably unique: Spark 4 proves Range ids distinct
+      // and then elides the aggregation exchange entirely — the real IVF
+      // input has no such guarantee, so pin the general shape
+      val emb = spark.range(200)
+        .select(
+          (col("id") % 100).as("vec_id"),
+          transform(sequence(lit(0), lit(7)),
+            i => (col("id") % 13 + i).cast("double")).as("v"),
+        )
+      val cents = emb.limit(4)
+        .select(col("vec_id").as("cent"), col("v").as("centvec"))
+      val assigned = graft.operators.Similarity
+        .assignToNearestCentroid(emb, "vec_id", "v", cents, 6)
+      val plan = assigned.queryExecution.executedPlan.toString
+      // a Window here would sort-exchange the full |C|*nlist broadcast
+      // expansion; min(struct) partial-aggregates map-side so the one
+      // exchange carries |C| combined rows
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("partial_min"), plan)
+      val shuffles =
+        "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+    }
+  }
+
   test("orderBy+limit fuses to TakeOrderedAndProject (no full sort)") {
     val df = spark.range(1000).toDF("v")
       .orderBy(col("v").desc).limit(5)

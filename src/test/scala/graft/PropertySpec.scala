@@ -1,6 +1,6 @@
 package graft
 
-import graft.algos.{PageRank, Triangles, Wcc}
+import graft.algos.{LabelProp, PageRank, Triangles, Wcc}
 import graft.oracle.Oracles
 import org.scalacheck.{Gen, Prop, Test => ScTest}
 
@@ -73,7 +73,7 @@ class PropertySpec extends GraftSuite {
     a.foreach { case (v, r) => assert(math.abs(b(f(v)) - r) < 1e-12) }
   }
 
-  test("engine == oracle on seeded random graphs (PR, WCC, triangles)") {
+  test("engine == oracle on seeded random graphs (PR, WCC, LP, triangles)") {
     for (seed <- Seq(1, 7, 23)) {
       val r = new scala.util.Random(seed)
       val n = 30 + r.nextInt(40)
@@ -91,6 +91,14 @@ class PropertySpec extends GraftSuite {
       exactMatch(
         Wcc.run(ds).comps.collect().map(c => c.vid -> c.comp).toMap,
         Oracles.wcc(g),
+      )
+      // LP's argmax + smallest-label tie-break is exactly the kind of
+      // semantics a random sweep catches drifting (fixture-only before)
+      val lpCfg = LpConfig(iterations = 4)
+      exactMatch(
+        LabelProp.run(ds, lpCfg).collect()
+          .map(l => l.vid -> l.label).toMap,
+        Oracles.labelProp(g, lpCfg),
       )
       val tri = Triangles.run(ds)
       assert(tri.global == Oracles.triangles(g)._1)
