@@ -270,13 +270,17 @@ object SparkEntry {
           col("frames_sampled").cast("long").as("frames_sampled"),
         )
     },
-    // ---- sketch pipelines (minhash/simhash/LSH/IVF), run in PORTABLE
-    //      hash mode (Hash64.Portable: md5-derived 60-bit hash both
-    //      engines compute bit-identically) so the driver hash-checks the
-    //      FULL pipeline — banding, candidate joins, bucket routing,
-    //      verify — against a DuckDB oracle. Production default stays
-    //      xxhash64 (same code path modulo the hash expression; the
-    //      scalatest oracle suites cover that mode). ----
+    // ---- sketch pipelines (minhash/simhash/LSH/IVF). Hash mode is
+    //      sketchHash: xxhash64 (production, codegen-fast) by default;
+    //      Verify — the driver's ORACLE dump — switches to
+    //      Hash64.Portable (md5-derived 60-bit, computable bit-identically
+    //      in DuckDB) so the driver hash-checks the FULL pipeline —
+    //      banding, candidate joins, bucket routing, verify — against the
+    //      SQL oracles below. Same operator code either way, only the
+    //      hash expression swaps; the xxhash64 mode's semantics are
+    //      covered by the scalatest recall/completeness oracles, and
+    //      Bench times the production hash (md5 costs ~2x on
+    //      q_minhash_pairs/q_lsh_ann, measured). ----
     // threshold 0.5 (the operator default): lshParams gives r=3/b=10
     // banding — honest recall at the threshold AND a random-pair
     // candidate rate of ~10·j³, which keeps the candidate join linear-ish.
@@ -287,14 +291,14 @@ object SparkEntry {
     // either way.)
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.5, hash = Hash64.Portable)),
+        threshold = 0.5, hash = sketchHash)),
     "q_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text",
-        Hash64.Portable)
+        sketchHash)
         .select(col("id").as("doc_id"), col("sim").as("simhash"))),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3, chunks = 4, hash = Hash64.Portable)),
+        maxHamming = 3, chunks = 4, hash = sketchHash)),
     "q_lsh_ann" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(
@@ -304,7 +308,7 @@ object SparkEntry {
         "embedding",
         k = 5,
         bandBits = 4,
-        hash = Hash64.Portable,
+        hash = sketchHash,
       )
     },
     "q_ivf_ann" -> { (s, d) =>
@@ -317,10 +321,37 @@ object SparkEntry {
         k = 5,
         nlist = 16,
         nprobe = 4,
-        hash = Hash64.Portable,
+        hash = sketchHash,
+      )
+    },
+    // margin-ranked multi-probe: each query also probes the buckets at
+    // its 2 nearest-margin bit flips (recall recovers toward brute force;
+    // corpus is still bucketed once — the multiplier rides the query side)
+    "q_lsh_ann_mp" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(
+        emb,
+        emb.where(col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k = 5,
+        bandBits = 4,
+        hash = sketchHash,
+        numProbes = 2,
       )
     },
   )
+
+  /** Hash powering the sketch queries above: xxhash64 unless the
+    * `graft.sketch.hash=portable` system property is set (done by
+    * [[Verify]], whose output feeds the driver's DuckDB compare — the 5
+    * sketch oracleSql entries mirror the PORTABLE hash and only match
+    * that mode).
+    */
+  def sketchHash: Hash64 =
+    if (sys.props.get("graft.sketch.hash").contains("portable"))
+      Hash64.Portable
+    else Hash64.Xx
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -616,6 +647,43 @@ object SparkEntry {
            |  JOIN e qe ON qe.vec_id = q.vec_id
            |  JOIN e ce ON ce.vec_id = c.vec_id
            |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+           |SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM scored) WHERE rnk <= 5""".stripMargin,
+      // multi-probe variant: probes = exact bucket + the 2 nearest-margin
+      // single-bit flips, margin = round(abs(dot), 6) (rank ties broken by
+      // bit index — identical ordering rule to Similarity.srpProbeBuckets)
+      "q_lsh_ann_mp" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |ed AS (SELECT vec_id, v,
+           |  unnest(generate_series(1, len(v))) AS d FROM e),
+           |comp AS (SELECT vec_id, r.i AS i,
+           |    sum(CASE WHEN (${ph("r.i || ',' || (d - 1)")}) & 1 = 1
+           |      THEN v[d] ELSE -v[d] END) AS dot
+           |  FROM ed CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+           |bk AS (SELECT vec_id,
+           |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i)
+           |      ELSE 0::BIGINT END) AS BIGINT) AS bucket
+           |  FROM comp GROUP BY 1),
+           |mgn AS (SELECT c.vec_id, c.i, b.bucket,
+           |    row_number() OVER (PARTITION BY c.vec_id
+           |      ORDER BY round(abs(c.dot), 6), c.i) AS rn
+           |  FROM comp c JOIN bk b ON b.vec_id = c.vec_id
+           |  WHERE c.vec_id < 10),
+           |pk AS (SELECT vec_id AS query_id, bucket AS probe
+           |    FROM bk WHERE vec_id < 10
+           |  UNION ALL
+           |  SELECT vec_id, xor(bucket, (1::BIGINT << i))
+           |    FROM mgn WHERE rn <= 2),
+           |scored AS (SELECT pk.query_id, c.vec_id AS neighbor_id,
+           |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+           |  FROM pk JOIN bk c ON c.bucket = pk.probe
+           |  JOIN e qe ON qe.vec_id = pk.query_id
+           |  JOIN e ce ON ce.vec_id = c.vec_id
+           |  WHERE c.vec_id <> pk.query_id)
            |SELECT query_id, neighbor_id, rnk FROM (
            |  SELECT query_id, neighbor_id,
            |    CAST(row_number() OVER (PARTITION BY query_id

@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // oracle mode: the sketch queries (minhash/simhash/LSH/IVF) switch to
+    // the md5-derived portable hash that the DuckDB oracleSql mirrors —
+    // see SparkEntry.sketchHash. Bench/entry keep the xxhash64 default.
+    sys.props("graft.sketch.hash") = "portable"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -169,6 +169,10 @@ object Wcc {
       state = mat.drop("changed")
       iter += 1
       val secs = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(
+          f"[wcc] iter=$iter changed=$changed img~${stats.getLong(1)} " +
+            f"jumpOn=$jumpOn $secs%.2fs")
       val converged = changed == 0 || iter >= maxIter
       if (iter % checkpointEvery == 0 || converged) store.foreach { s =>
         s.write(

@@ -114,10 +114,85 @@ object Similarity {
       (acc, x) => acc + x,
     )
 
+  /** Raw SRP projections dot(v, h_i) for i < numBits — the signs give
+    * [[srpBits]]; the MAGNITUDES give the multi-probe perturbation order
+    * (a bit with a small |projection| sits near its hyperplane and is the
+    * likeliest to differ for a true near neighbor — Lv et al.,
+    * "Multi-Probe LSH", VLDB 2007).
+    */
+  def srpDots(vec: Column, numBits: Int, hash: Hash64 = Hash64.Xx): Column =
+    transform(
+      sequence(lit(0), lit(numBits - 1)),
+      i =>
+        aggregate(
+          zip_with(
+            vec,
+            sequence(lit(0), size(vec) - 1),
+            (x, d) =>
+              when(hash.pair(i, d).bitwiseAND(lit(1L)) === 1L, x)
+                .otherwise(-x),
+          ),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ),
+    )
+
+  /** Multi-probe bucket keys for a query vector: the exact SRP bucket
+    * plus `numProbes` single-bit perturbations, flipping the bits with
+    * the SMALLEST |projection| first (margin-ranked — those are the bits
+    * a true neighbor most likely disagrees on). Returns an array of
+    * 1 + numProbes distinct bucket keys; element 0 is the exact bucket.
+    */
+  def srpProbeBuckets(
+      vec: Column,
+      bandBits: Int,
+      numProbes: Int,
+      hash: Hash64 = Hash64.Xx,
+  ): Column = {
+    val dots = srpDots(vec, bandBits, hash)
+    val bucket = aggregate(
+      zip_with(
+        dots,
+        lit((0 until bandBits).map(i => 1L << i).toArray),
+        (d, p) => when(d > 0, p).otherwise(lit(0L)),
+      ),
+      lit(0L),
+      (acc, x) => acc + x,
+    )
+    // rank bit indices by |dot| ascending (deterministic: struct compare
+    // falls back to the index for equal magnitudes), keep the numProbes
+    // nearest-margin bits, flip each one individually. The margin is
+    // ROUNDED to 6 decimals before ranking — same convention as the sim
+    // scores: raw float64 projections differ across engines in the last
+    // ulp (reduction order), which near a margin tie would flip the
+    // probe choice and break the cross-engine oracle compare.
+    val ranked = array_sort(
+      zip_with(
+        dots,
+        sequence(lit(0), lit(bandBits - 1)),
+        (d, i) => struct(round(abs(d), 6).as("m"), i.as("i")),
+      )
+    )
+    val flips = transform(
+      slice(ranked, 1, numProbes),
+      s =>
+        bucket.bitwiseXOR(
+          call_function("shiftleft", lit(1L), s.getField("i"))),
+    )
+    concat(array(bucket), flips)
+  }
+
   /** LSH-bucketed ANN: candidates = corpus vectors in the query's SRP
     * bucket; exact cosine re-rank within the bucket. Trades recall for a
     * |C|/2^bandBits candidate set — the 100 TB path (the bucket join is a
     * plain equi-join that shuffles by bucket key; no all-pairs anywhere).
+    *
+    * `numProbes` > 0 adds margin-ranked multi-probe ([[srpProbeBuckets]]):
+    * each query also probes the buckets reached by flipping its
+    * `numProbes` nearest-margin SRP bits — recall recovers toward
+    * brute force at (1 + numProbes)x the candidate cost, and the
+    * multiplier rides the SMALL query side only (the corpus is still
+    * bucketed exactly once; the 100 TB shape is unchanged).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -128,17 +203,33 @@ object Similarity {
       bandBits: Int = 8,
       simDecimals: Int = 6,
       hash: Hash64 = Hash64.Xx,
+      numProbes: Int = 0,
   ): DataFrame = {
+    require(numProbes >= 0 && numProbes <= bandBits,
+      "0 <= numProbes <= bandBits")
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cvec"),
       srpBucket(asDouble(col(vecCol)), bandBits, hash).as("bucket"),
     )
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qvec"),
-      srpBucket(asDouble(col(vecCol)), bandBits, hash).as("bucket"),
-    )
+    val q =
+      if (numProbes == 0)
+        queries.select(
+          col(idCol).as("query_id"),
+          asDouble(col(vecCol)).as("qvec"),
+          srpBucket(asDouble(col(vecCol)), bandBits, hash).as("bucket"),
+        )
+      else
+        // probe keys are pairwise distinct and each corpus row lives in
+        // exactly ONE bucket, so a (query, neighbor) pair can match at
+        // most once — no candidate dedup step needed
+        queries.select(
+          col(idCol).as("query_id"),
+          asDouble(col(vecCol)).as("qvec"),
+          explode(
+            srpProbeBuckets(asDouble(col(vecCol)), bandBits, numProbes,
+              hash)).as("bucket"),
+        )
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))

@@ -261,6 +261,45 @@ class PipelineOpsSpec extends GraftSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("multi-probe LSH: recall >= single-probe, probes well-formed") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 6)
+    def pairs(x: Array[org.apache.spark.sql.Row]) =
+      x.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity
+      .bruteForceTopK(df, q, "vec_id", "embedding", 5).collect())
+    def recallAt(p: Int) = {
+      val approx = pairs(Similarity
+        .lshTopK(df, q, "vec_id", "embedding", 5, bandBits = 4,
+          numProbes = p).collect())
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0)
+    val r2 = recallAt(2)
+    // flipping the two nearest-margin bits only ADDS probe buckets, so
+    // the candidate set (and recall) is a superset of single-probe's
+    assert(r2 >= r0, s"multi-probe recall $r2 < single-probe $r0")
+    assert(r2 >= 0.9, s"recall $r2")
+    // probe-key invariants: element 0 is the exact bucket, keys distinct,
+    // each a single-bit flip of the exact bucket
+    val probes = df
+      .select(
+        Similarity.srpBucket(col("embedding").cast("array<double>"), 4)
+          .as("b"),
+        Similarity.srpProbeBuckets(
+          col("embedding").cast("array<double>"), 4, 2).as("ps"),
+      )
+      .collect()
+    probes.foreach { r =>
+      val b = r.getLong(0)
+      val ps = r.getSeq[Long](1)
+      assert(ps.length == 3 && ps.head == b && ps.distinct == ps)
+      ps.tail.foreach { p =>
+        assert(java.lang.Long.bitCount(b ^ p) == 1, s"probe $p vs $b")
+      }
+    }
+  }
+
   test("IVF ANN: recall >= 0.8 vs brute force on clustered vectors") {
     val df = vecs.toDF("vec_id", "embedding")
     val q = df.where(col("vec_id") < 6)
