@@ -19,11 +19,28 @@ MAXDEG="${5:-65536}" # hub-chunk size (ScalingBench arg 5); placeholder
 PAIR="${PAIR:-8 32}" # "N 4N" core counts
 read -r N1 N2 <<<"$PAIR"
 mkdir -p "$OUT"
+# CLUSTER=1: run each level as cores/8 separate 8-thread EXECUTOR JVMs
+# (Spark local-cluster) — the literal N-executors-vs-4N-executors form of
+# the rule, with per-executor heaps/GC like a real fleet. Requires the
+# packaged app jar (executors fetch it; lambdas don't deserialize from
+# the inherited system classpath alone).
+if [[ "${CLUSTER:-0}" == "1" ]]; then
+  sbt -batch package >/dev/null
+  export GRAFT_JAR="$PWD/target/scala-2.13/gmsparqlspark_2.13-0.1.0.jar"
+  export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+  export SPARK_SCALA_VERSION=2.13
+fi
 for CORES in $N1 $N2; do
   LAST=$((CORES - 1))
-  echo "=== cores=$CORES rows=$ROWS iters=$ITERS mem=$MEM mode=$MODE maxdeg=$MAXDEG (taskset 0-$LAST)"
+  LVLMODE="$MODE"
+  if [[ "${CLUSTER:-0}" == "1" ]]; then
+    EXECS=$((CORES / 8))
+    if [[ "$LVLMODE" == "none" ]]; then LVLMODE="cluster$EXECS"
+    else LVLMODE="$LVLMODE,cluster$EXECS"; fi
+  fi
+  echo "=== cores=$CORES rows=$ROWS iters=$ITERS mem=$MEM mode=$LVLMODE maxdeg=$MAXDEG (taskset 0-$LAST)"
   SPARK_DRIVER_MEM="$MEM" taskset -c "0-$LAST" \
-    sbt -batch "runMain graft.ScalingBench $CORES $ROWS $ITERS $MODE $MAXDEG" 2>&1 \
+    sbt -batch "runMain graft.ScalingBench $CORES $ROWS $ITERS $LVLMODE $MAXDEG" 2>&1 \
     | grep -o '{"bench":"scaling".*}' | tee "$OUT/cores$CORES.json"
 done
 python3 - "$OUT" "$N1" "$N2" <<'EOF'

@@ -55,8 +55,41 @@ object ScalingBench {
     // 259 vs 1003 tasks — judge-flagged); now pinned to the 4N level's
     // natural P unless GRAFT_PARTITIONS overrides.
     val partitions = sys.env.getOrElse("GRAFT_PARTITIONS", "32")
+    // clusterN mode (e.g. "cluster4"): N separate EXECUTOR JVMs of
+    // cores/N threads each via Spark's local-cluster master — same
+    // machine, same DRAM, but per-executor heaps and GC. This isolates
+    // the single-JVM confound in the N-vs-4N evidence: local[32] shares
+    // ONE heap + GC across 32 threads (a real 4-executor fleet has 4),
+    // so local[32]-vs-local[8] under-measures what 4 real executors
+    // would scale. Executor JVMs inherit the forked sbt classpath; the
+    // JDK17 --add-opens set must be passed explicitly (spark-submit
+    // would normally inject it).
+    val clusterN = mode.collectFirst {
+      case m if m.startsWith("cluster") && m.length > 7 => m.drop(7).toInt
+    }
+    val execMemMb = sys.env.getOrElse("GRAFT_EXEC_MEM_MB", "11264").toInt
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
     val builder = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(clusterN match {
+        case Some(n) => s"local-cluster[$n,${cores / n},$execMemMb]"
+        case None    => s"local[$cores]"
+      })
+      .config("spark.executor.extraJavaOptions", addOpens)
+      // the master-string MB is the WORKER's capacity; the executor JVM
+      // heap is spark.executor.memory (default 1g — OOMs immediately)
+      .config("spark.executor.memory", s"${execMemMb}m")
+      // executors must fetch the app classes into their APP classloader
+      // (sbt package jar via GRAFT_JAR) — lambdas in task closures do not
+      // deserialize from the system classpath alone
+      .config("spark.jars", sys.env.getOrElse("GRAFT_JAR", ""))
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -76,8 +109,23 @@ object ScalingBench {
     val gcMs = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    // per-stage attribution (keyed by the stage's callsite name): which
+    // PART of the superstep inflates when cores go 8 -> 32 — the scatter/
+    // partial-agg stage (CSR scan + hash agg + shuffle write) vs the
+    // reduce/join/checkpoint stage (shuffle read + sort-merge join +
+    // cache write). Printed as "stages" in the JSON line.
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[
+      String, Array[Long]]() // name -> [cpuNs, gcMs, runMs, tasks]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        private val stageNames =
+          new java.util.concurrent.ConcurrentHashMap[Int, String]()
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+            : Unit = {
+          stageNames.put(s.stageInfo.stageId, s.stageInfo.name)
+          ()
+        }
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val d = t.taskInfo.duration
@@ -88,6 +136,22 @@ object ScalingBench {
             gcMs.addAndGet(t.taskMetrics.jvmGCTime)
             shufWrite.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
             cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+            // both stages of a superstep job inherit the ACTION's
+            // callsite as their name; split them by role — the map side
+            // writes shuffle (CSR scan + scatter + partial agg), the
+            // result side reads it (final agg + state join + checkpoint)
+            val role =
+              if (t.taskMetrics.shuffleWriteMetrics.bytesWritten > 0) "map"
+              else "result"
+            val name = stageNames.getOrDefault(
+              t.stageId, s"stage${t.stageId}") + s" [$role]"
+            val a = stageAgg.computeIfAbsent(name, _ => Array(0L, 0L, 0L, 0L))
+            a.synchronized {
+              a(0) += t.taskMetrics.executorCpuTime
+              a(1) += t.taskMetrics.jvmGCTime
+              a(2) += d
+              a(3) += 1
+            }
           }
           ()
         }
@@ -114,10 +178,20 @@ object ScalingBench {
       salted = salted, maxDegPerBlock = maxDeg, spmv = spmv,
       onLoopStart = () => {
         busyMs.set(0); maxTaskMs.set(0); nTasks.set(0)
-        gcMs.set(0); shufWrite.set(0); cpuNs.set(0)
+        gcMs.set(0); shufWrite.set(0); cpuNs.set(0); stageAgg.clear()
       })
+    val stagesJson = {
+      import scala.jdk.CollectionConverters._
+      stageAgg.asScala.toSeq
+        .sortBy(-_._2(0))
+        .map { case (n, a) =>
+          val esc = n.replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""{"name":"$esc","cpu_sec":${a(0) / 1e9},"gc_sec":${a(1) / 1000.0},"run_sec":${a(2) / 1000.0},"tasks":${a(3)}}"""
+        }
+        .mkString("[", ",", "]")
+    }
     println(
-      s"""{"bench":"scaling","cores":$cores,"visible_cpus":${Runtime.getRuntime.availableProcessors},"partitions":$partitions,"heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},"rows":$nRows,"salted":$salted,"spmv":"${spmv.map(_.toString).getOrElse("auto")}","maxDeg":$maxDeg,"edges":${res.edgeCount},"iters":${res.iterations},"seconds":${res.wallSeconds},"edges_per_sec":${res.edgesPerSec},"busy_sec":${busyMs.get / 1000.0},"util":${busyMs.get / 1000.0 / (res.wallSeconds * cores)},"max_task_sec":${maxTaskMs.get / 1000.0},"tasks":${nTasks.get},"gc_sec":${gcMs.get / 1000.0},"cpu_sec":${cpuNs.get / 1e9},"shuffle_mb":${shufWrite.get / 1048576}}"""
+      s"""{"bench":"scaling","cores":$cores,"mode":"${mode.mkString(",")}","executor_jvms":${clusterN.getOrElse(1)},"visible_cpus":${Runtime.getRuntime.availableProcessors},"partitions":$partitions,"heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)},"rows":$nRows,"salted":$salted,"spmv":"${spmv.map(_.toString).getOrElse("auto")}","maxDeg":$maxDeg,"edges":${res.edgeCount},"iters":${res.iterations},"seconds":${res.wallSeconds},"edges_per_sec":${res.edgesPerSec},"busy_sec":${busyMs.get / 1000.0},"util":${busyMs.get / 1000.0 / (res.wallSeconds * cores)},"max_task_sec":${maxTaskMs.get / 1000.0},"tasks":${nTasks.get},"gc_sec":${gcMs.get / 1000.0},"cpu_sec":${cpuNs.get / 1e9},"shuffle_mb":${shufWrite.get / 1048576},"stages":$stagesJson}"""
     )
     spark.stop()
   }
