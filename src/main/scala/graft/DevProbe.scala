@@ -74,5 +74,21 @@ object DevProbe {
     val plan = next.queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).length
     println(s"EXCHANGES IN PLAN: $exchanges")
+    // superstep 2: does the checkpoint of superstep 1's output (which
+    // leaves the SMJ sorted by vid) DECLARE that ordering, eliding the
+    // two state-side sorts?
+    val state2 = Superstep.cut(next)
+    val msgs2 = state2.join(adj, state2("vid") === adj("src"))
+      .select(col("rank"),
+        explode(arrays_zip(col("dsts"), col("weights"))).as("e"))
+      .select(col("e.dsts").as("vid"), (col("rank") * col("e.weights")).as("m"))
+      .groupBy("vid").agg(sum("m").as("msg"))
+    val next2 = state2.join(msgs2, Seq("vid"), "left_outer")
+      .select(col("vid"), col("dangling"),
+        (lit(0.1) + coalesce(col("msg"), lit(0.0))).as("rank"))
+    val plan2 = next2.queryExecution.executedPlan.toString
+    println("=== SUPERSTEP 2 (post-checkpoint state) ===")
+    println(plan2)
+    println(s"SORTS IN SUPERSTEP 2: ${"Sort ".r.findAllIn(plan2).length}")
   }
 }

@@ -45,6 +45,45 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("steady-state superstep = exactly one sort (the msgs side)") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    ) {
+      // round >= 2: the state checkpoint comes from the previous round's
+      // sort-merge join output, and localCheckpoint PRESERVES that
+      // [vid ASC] outputOrdering (LogicalRDD carries it), so the scatter
+      // join and the update join elide their state-side sorts; the CSR
+      // side declares [src ASC] from its build. The ONLY per-superstep
+      // sort left is the msgs side after the exchange — which is what
+      // keeps the update join an SMJ whose output feeds the next round
+      // sorted. Pin it: a refactor that drops the ordering (e.g. a
+      // projection through a non-order-preserving node) would silently
+      // re-add two |V|-row sorts per superstep.
+      val edges = edgeDs(Fixtures.powerlaw1k)
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val adj = Csr.build(edges, p).localCheckpoint(true)
+      def step(state: org.apache.spark.sql.DataFrame) = {
+        val msgs = state.join(adj, state("vid") === adj("src"))
+          .select(col("rank"),
+            explode(arrays_zip(col("dsts"), col("weights"))).as("e"))
+          .select(col("e.dsts").as("vid"),
+            (col("rank") * col("e.weights")).as("m"))
+          .groupBy("vid").agg(sum("m").as("msg"))
+        state.join(msgs, Seq("vid"), "left_outer")
+          .select(col("vid"), col("dangling"),
+            (lit(0.1) + coalesce(col("msg"), lit(0.0))).as("rank"))
+      }
+      val state0 = Superstep.vertices(edges)
+        .select(col("vid"), lit(false).as("dangling"), lit(0.001).as("rank"))
+        .localCheckpoint(true)
+      val state1 = Superstep.cut(step(state0))
+      val plan2 = step(state1).queryExecution.executedPlan.toString
+      val sorts = "Sort ".r.findAllIn(plan2).length
+      assert(sorts == 1, s"expected 1 sort in steady state, got $sorts:\n$plan2")
+    }
+  }
+
   test("label-prop superstep = exactly one exchange (the vid repartition)") {
     withConf(
       "spark.sql.adaptive.enabled" -> "false",
