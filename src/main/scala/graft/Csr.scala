@@ -98,14 +98,21 @@ object Csr {
         flush()
         out.iterator
       }
-      // mapPartitions erases partitioning metadata (new output attrs), so
-      // re-establish the contract once at build time; every subsequent
-      // scatter join against vertex state is then exchange-free. The
-      // partition-local sort is also done once: the persisted blocks then
-      // carry outputOrdering(src), so each superstep's sort-merge join
-      // re-sorts only the small state side, never the adjacency.
-      .repartition(numPartitions, col("src"))
-      .sortWithinPartitions("src")
+      // mapPartitions erases partitioning metadata (new output attrs) but
+      // NOT the physical placement — the pack is partition-local, so the
+      // blocks still sit hash-partitioned by src and sorted by src within
+      // each partition. Re-DECLARE those facts (the LogicalRDD mechanism
+      // localCheckpoint itself uses) instead of paying a second full
+      // shuffle+sort of the packed adjacency (`repartition` again was the
+      // round-2 form — measured ~2x the build's shuffle volume for pure
+      // metadata). Every subsequent scatter join against vertex state is
+      // exchange-free AND sort-free on the adjacency side; plan-pinned in
+      // PlanShapeSpec.
+      .toDF()
+      .transform(df =>
+        org.apache.spark.sql.graftinternal.Internals
+          .assumeHashPartitioned(df, "src", numPartitions, Seq("src")))
+      .as[AdjBlock]
   }
 
   /** Total adjacency entries — the |E| used for edges-traversed/sec.
