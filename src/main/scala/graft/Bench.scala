@@ -56,6 +56,11 @@ object Bench {
     // 2.07-3.15M e/s — judge-flagged as unstable). The edge set is
     // persisted once (columnar) so the three samples time the loop, not
     // three co-occurrence rebuilds.
+    // leak check: queries must release their caches — leftover blocks
+    // here would squeeze the PR loop's working set and taint the headline
+    val leakedRdds = spark.sparkContext.getPersistentRDDs.size
+    if (leakedRdds > 0)
+      System.err.println(s"[bench] WARNING: $leakedRdds persistent RDDs leaked by queries")
     val (prs, prMedian) = {
       import spark.implicits._
       val edges = EdgeBuilder
