@@ -104,8 +104,9 @@ object Csr {
       // each partition. Re-DECLARE those facts (the LogicalRDD mechanism
       // localCheckpoint itself uses) instead of paying a second full
       // shuffle+sort of the packed adjacency (`repartition` again was the
-      // round-2 form — measured ~2x the build's shuffle volume for pure
-      // metadata). Every subsequent scatter join against vertex state is
+      // round-2 form — a structural 2x on the build's adjacency shuffle
+      // volume, spent purely to restore metadata). Every subsequent
+      // scatter join against vertex state is
       // exchange-free AND sort-free on the adjacency side; plan-pinned in
       // PlanShapeSpec.
       .toDF()

@@ -97,7 +97,14 @@ object PageRank {
     val adjAll = Csr.build(edges, p, mode, maxDegPerBlock)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCnt = Csr.edgeCount(adjAll) // also materializes the cache
-    require(edgeCnt > 0, "PageRank needs a non-empty edge table")
+    if (edgeCnt == 0) {
+      // an empty filter result must not kill a pipeline job: return the
+      // empty typed result (no vertices -> no ranks; 1/n is undefined
+      // anyway) instead of the round-2 require()
+      adjAll.unpersist(false)
+      return PrResult(
+        spark.emptyDataset[RankState], 0, 0L, 0.0, Seq.empty)
+    }
     // auto scatter form (Scaladoc item 2): typed SpMV wins below a few
     // million edges (per-row overhead dominates), codegen above (object
     // churn becomes the multi-core GC ceiling). The same boundary picks

@@ -1,0 +1,82 @@
+package graft
+
+import graft.algos.{LabelProp, PageRank, Triangles, Wcc}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: a 100 TB pipeline WILL see empty
+  * partitions, empty filters, and single-vertex graphs — none of them
+  * may crash or return a malformed frame.
+  */
+class EdgeCaseSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("all four algorithms handle an empty edge set") {
+    val empty = edgeDs(Seq.empty)
+    assert(PageRank.run(empty, PrConfig(maxIter = 3)).ranks.count() == 0L)
+    assert(Wcc.run(empty, maxIter = 3).comps.count() == 0L)
+    assert(LabelProp.run(empty, LpConfig(iterations = 2)).count() == 0L)
+    val tri = Triangles.run(empty)
+    assert(tri.global == 0L && tri.perVertex.count() == 0L)
+    val triG = Triangles.run(empty, perVertex = false)
+    // the typed empty frame must be selectable (round-2 ADVICE item)
+    assert(triG.perVertex.select(col("vid"), col("triangles")).count() == 0L)
+  }
+
+  test("single-edge graph: every algorithm returns the hand result") {
+    val one = edgeDs(Seq((1L, 2L, 1.0)))
+    val pr = PageRank.run(one, PrConfig(maxIter = 5)).ranks.collect()
+      .map(r => r.vid -> r.rank).toMap
+    assert(pr.keySet == Set(1L, 2L) && pr(2L) > pr(1L))
+    val wcc = Wcc.run(one).comps.collect().map(c => c.vid -> c.comp).toMap
+    assert(wcc == Map(1L -> 1L, 2L -> 1L))
+    val tri = Triangles.run(one)
+    assert(tri.global == 0L)
+  }
+
+  test("jaccardPairsWithin matches a plain-Scala oracle on random docs") {
+    for (seed <- Seq(3, 11)) {
+      val r = new scala.util.Random(seed)
+      val vocab = ('a' to 'p').map(_.toString)
+      val docs = (0 until 40).map { i =>
+        val n = 2 + r.nextInt(8)
+        val toks = (0 until n).map(_ => vocab(r.nextInt(vocab.size)))
+        (i.toLong, s"blk${i % 3}", toks.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "source", "text")
+      val got = Dedup
+        .jaccardPairsWithin(df, "doc_id", "text", "source")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3)))
+        .toMap
+      // oracle: all in-block pairs (every block < maxBlock, so the cap
+      // contributes nothing here), distinct-token intersect/union
+      val sets = docs.map { case (id, blk, text) =>
+        (id, blk, text.split("\\s+").toSet)
+      }
+      val want = (for {
+        a <- sets; b <- sets
+        if a._2 == b._2 && a._1 < b._1
+      } yield {
+        val i = (a._3 & b._3).size.toLong
+        (a._1, b._1) -> (i, a._3.size + b._3.size - i)
+      }).toMap
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
+  test("jaccard block cap: overflow members compare only to the representative") {
+    val docs = (0 until 10)
+      .map(i => (i.toLong, "one", s"t$i common"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup
+      .jaccardPairsWithin(docs, "doc_id", "text", "source", maxBlock = 4)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    val core = (for { a <- 0 until 4; b <- (a + 1) until 4 }
+      yield (a.toLong, b.toLong)).toSet
+    val tail = (4 until 10).map(i => (0L, i.toLong)).toSet
+    assert(got == core ++ tail)
+  }
+}
