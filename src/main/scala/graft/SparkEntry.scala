@@ -292,6 +292,11 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5, hash = sketchHash)),
+    // pairs → WCC components → min-id survivor: the production dedup
+    // output (one row per doc with its cluster + keep/drop decision)
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5, hash = sketchHash)),
     "q_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text",
         sketchHash)
@@ -628,6 +633,48 @@ object SparkEntry {
            |  JOIN shg sb ON sb.doc_id = cand.id_b)
            |SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
            |FROM jv WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5""".stripMargin,
+      // same pair pipeline, then connected components (recursive CTE
+      // seeded from ALL docs so singletons are their own cluster) + the
+      // min-id survivor rule — mirrors Dedup.nearDupClusters exactly
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE tks AS (SELECT doc_id,
+           |  string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+           |shg AS MATERIALIZED (SELECT doc_id,
+           |    list_distinct(CASE WHEN len(tk) < 3
+           |      THEN [array_to_string(tk, ' ')]
+           |      ELSE list_transform(generate_series(1, len(tk) - 2),
+           |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+           |  FROM tks),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+           |sig AS (SELECT doc_id, r.h AS h,
+           |    min(${ph("s || '#' || r.h")}) AS m
+           |  FROM ex CROSS JOIN range(30) r(h) GROUP BY 1, 2),
+           |bnd AS (SELECT doc_id, h // 3 AS b,
+           |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY h) AS bs
+           |  FROM sig GROUP BY 1, 2),
+           |keys AS (SELECT doc_id, ${ph("bs || '#' || b")} AS band FROM bnd),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM keys a JOIN keys b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |jv AS (SELECT id_a, id_b,
+           |    len(list_intersect(sa.sh, sb.sh)) AS i,
+           |    len(sa.sh) + len(sb.sh)
+           |      - len(list_intersect(sa.sh, sb.sh)) AS u
+           |  FROM cand JOIN shg sa ON sa.doc_id = cand.id_a
+           |  JOIN shg sb ON sb.doc_id = cand.id_b),
+           |prs AS MATERIALIZED (SELECT id_a, id_b FROM jv
+           |  WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM prs
+           |        UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+           |reach AS (
+           |  SELECT doc_id AS vid, doc_id AS comp FROM documents
+           |  UNION
+           |  SELECT s.dst AS vid, r.comp FROM reach r JOIN sym s ON r.vid = s.src
+           |),
+           |comps AS (SELECT vid, min(comp) AS comp FROM reach GROUP BY 1)
+           |SELECT CAST(vid AS BIGINT) AS id, CAST(comp AS BIGINT) AS cluster,
+           |  vid = comp AS is_survivor
+           |FROM comps""".stripMargin,
       "q_lsh_ann" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            |  FROM embeddings),

@@ -258,4 +258,46 @@ object Dedup {
     val overflow = ranked.where(col("rn") > maxBlock)
     jac(core, core).unionByName(jac(reps, overflow))
   }
+
+  /** Near-duplicate CLUSTERS with survivor selection — the operation a
+    * production dedup actually runs (pairs are an intermediate; what the
+    * pipeline needs is "keep one doc per duplicate group"):
+    * [[minhashPairs]] at `threshold` → the verified pairs form a dup
+    * graph → weakly-connected components over it (the engine's own
+    * [[graft.algos.Wcc]], so the clustering inherits its O(log n) round
+    * bound and scale shape) → cluster id = min doc id in the component;
+    * the survivor is the doc that IS its cluster id. Standard
+    * LSH-pairs-then-components dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022).
+    *
+    * Returns one row per INPUT doc: (id, cluster, is_survivor) —
+    * singleton docs are their own cluster and survive.
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      threshold: Double = 0.5,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs =
+      minhashPairs(docs, idCol, textCol, shingleLen, numHashes, threshold,
+        hash)
+    val dupEdges = pairs
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"), lit(1.0).as("weight"))
+      .as[graft.Edge]
+    val comps = graft.algos.Wcc.run(dupEdges).comps.toDF()
+    docs
+      .select(col(idCol).cast("long").as("id"))
+      .join(comps.withColumnRenamed("vid", "id"), Seq("id"), "left_outer")
+      .select(
+        col("id"),
+        coalesce(col("comp"), col("id")).as("cluster"),
+        (coalesce(col("comp"), col("id")) === col("id")).as("is_survivor"),
+      )
+  }
 }

@@ -53,6 +53,22 @@ class PipelineOpsSpec extends GraftSuite {
       s"false positive among random docs: $pairs")
   }
 
+  test("near-dup clusters: transitive grouping + min-id survivors") {
+    val rows = Dedup.nearDupClusters(docsDf, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rows.size == docs.size, "one row per input doc")
+    // 100-101 pair directly; 102 pairs with 100 — TRANSITIVITY must put
+    // all three in cluster 100 even if (101,102) never paired directly
+    assert(rows(100L) == ((100L, true)))
+    assert(rows(101L) == ((100L, false)))
+    assert(rows(102L) == ((100L, false)))
+    assert(rows(200L) == ((200L, true)) && rows(201L) == ((200L, false)))
+    // the 20 random docs are singleton survivors
+    (0L until 20L).foreach(i => assert(rows(i) == ((i, true)), s"doc $i"))
+  }
+
   test("lshParams: S-curve midpoint at or below the threshold") {
     // the round-1 bug: fixed r=4/b=8 has midpoint 0.59 — at threshold
     // 0.3 it silently missed ~94% of threshold-grazing pairs
