@@ -281,6 +281,7 @@ object Dedup {
       numHashes: Int = 32,
       threshold: Double = 0.5,
       hash: Hash64 = Hash64.Xx,
+      store: Option[graft.SnapshotStore] = None,
   ): DataFrame = {
     import docs.sparkSession.implicits._
     val pairs =
@@ -290,7 +291,10 @@ object Dedup {
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"), lit(1.0).as("weight"))
       .as[graft.Edge]
-    val comps = graft.algos.Wcc.run(dupEdges).comps.toDF()
+    // the clustering phase inherits WCC's resumability: at 100 TB the
+    // component rounds are the long pole, and a crashed dedup job should
+    // resume there, not re-mine candidate pairs from scratch
+    val comps = graft.algos.Wcc.run(dupEdges, store = store).comps.toDF()
     docs
       .select(col(idCol).cast("long").as("id"))
       .join(comps.withColumnRenamed("vid", "id"), Seq("id"), "left_outer")

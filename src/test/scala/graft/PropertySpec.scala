@@ -101,7 +101,15 @@ class PropertySpec extends GraftSuite {
         Oracles.labelProp(g, lpCfg),
       )
       val tri = Triangles.run(ds)
-      assert(tri.global == Oracles.triangles(g)._1)
+      val (wantGlobal, wantPer) = Oracles.triangles(g)
+      assert(tri.global == wantGlobal)
+      // per-vertex counts exact too (global alone can mask compensating
+      // double-count/miss errors across vertices)
+      exactMatch(
+        tri.perVertex.collect()
+          .map(x => x.getLong(0) -> x.getLong(1)).toMap,
+        wantPer,
+      )
     }
   }
 }
