@@ -34,6 +34,10 @@ for CORES in $N1 $N2; do
   LAST=$((CORES - 1))
   LVLMODE="$MODE"
   if [[ "${CLUSTER:-0}" == "1" ]]; then
+    if (( CORES % 8 != 0 || CORES < 8 )); then
+      echo "CLUSTER=1 needs core counts that are multiples of 8 (got $CORES)" >&2
+      exit 2
+    fi
     EXECS=$((CORES / 8))
     if [[ "$LVLMODE" == "none" ]]; then LVLMODE="cluster$EXECS"
     else LVLMODE="$LVLMODE,cluster$EXECS"; fi

@@ -56,11 +56,19 @@ object Bench {
     // 2.07-3.15M e/s — judge-flagged as unstable). The edge set is
     // persisted once (columnar) so the three samples time the loop, not
     // three co-occurrence rebuilds.
-    // leak check: queries must release their caches — leftover blocks
-    // here would squeeze the PR loop's working set and taint the headline
-    val leakedRdds = spark.sparkContext.getPersistentRDDs.size
-    if (leakedRdds > 0)
-      System.err.println(s"[bench] WARNING: $leakedRdds persistent RDDs leaked by queries")
+    // cache-residue check: queries must release their caches — leftover
+    // blocks here would squeeze the PR loop's working set and taint the
+    // headline. localCheckpoint RDDs linger in getPersistentRDDs until
+    // the JVM GCs the RDD object and ContextCleaner drains, so force
+    // that first; the count is a heuristic (cleaner is async), reported
+    // as data rather than a hard warning.
+    System.gc()
+    Thread.sleep(1000)
+    val residualRdds = spark.sparkContext.getPersistentRDDs.size
+    if (residualRdds > 0)
+      System.err.println(
+        s"[bench] note: $residualRdds persistent RDDs still registered " +
+          "after the query sweep (leak or cleaner-pending)")
     val (prs, prMedian) = {
       import spark.implicits._
       val edges = EdgeBuilder

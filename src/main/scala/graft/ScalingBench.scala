@@ -65,7 +65,14 @@ object ScalingBench {
     // JDK17 --add-opens set must be passed explicitly (spark-submit
     // would normally inject it).
     val clusterN = mode.collectFirst {
-      case m if m.startsWith("cluster") && m.length > 7 => m.drop(7).toInt
+      case m if m.startsWith("cluster") =>
+        val n = m.drop(7)
+        require(n.nonEmpty && n.forall(_.isDigit) && n.toInt >= 1,
+          s"mode '$m': expected clusterN with N >= 1 (e.g. cluster4)")
+        require(cores % n.toInt == 0,
+          s"mode '$m': cores=$cores must divide evenly into ${n.toInt} " +
+            "executors (each executor gets cores/N threads)")
+        n.toInt
     }
     val execMemMb = sys.env.getOrElse("GRAFT_EXEC_MEM_MB", "11264").toInt
     val addOpens = Seq(
@@ -139,9 +146,12 @@ object ScalingBench {
             // both stages of a superstep job inherit the ACTION's
             // callsite as their name; split them by role — the map side
             // writes shuffle (CSR scan + scatter + partial agg), the
-            // result side reads it (final agg + state join + checkpoint)
+            // result side reads it (final agg + state join + checkpoint).
+            // Classified by TASK TYPE, not bytes written: an empty map
+            // task writes 0 bytes and would otherwise land in the wrong
+            // bucket and skew the attribution evidence.
             val role =
-              if (t.taskMetrics.shuffleWriteMetrics.bytesWritten > 0) "map"
+              if (t.taskType.contains("ShuffleMapTask")) "map"
               else "result"
             val name = stageNames.getOrDefault(
               t.stageId, s"stage${t.stageId}") + s" [$role]"

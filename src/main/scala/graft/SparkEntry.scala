@@ -578,12 +578,14 @@ object SparkEntry {
            |hs AS (SELECT doc_id, ${ph("t")} AS h FROM tk),
            |votes AS (SELECT doc_id, r.b AS b,
            |    sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-           |  FROM hs CROSS JOIN range(64) r(b) GROUP BY 1, 2)
-           |SELECT doc_id,
+           |  FROM hs CROSS JOIN range(64) r(b) GROUP BY 1, 2),
+           |packed AS (SELECT doc_id,
            |  CAST(sum(CASE WHEN v > 0 THEN
            |    (CASE WHEN b >= 60 THEN 0::BIGINT ELSE (1::BIGINT << b) END)
            |    ELSE 0::BIGINT END) AS BIGINT) AS simhash
-           |FROM votes GROUP BY 1""".stripMargin,
+           |FROM votes GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(p.simhash, 0::BIGINT) AS simhash
+           |FROM documents d LEFT JOIN packed p ON p.doc_id = d.doc_id""".stripMargin,
       "q_simhash_pairs" ->
         s"""WITH tk AS (SELECT doc_id,
            |  unnest(string_split_regex(lower(text), '\\s+')) AS t

@@ -137,8 +137,12 @@ object Dedup {
       textCol: String,
       hash: Hash64 = Hash64.Xx,
   ): DataFrame = {
-    // split() of any string yields >= 1 token ("" for empty text), so the
-    // explode never drops a document
+    // split() of any STRING yields >= 1 token ("" for empty text), so the
+    // explode keeps every non-null document; NULL text explodes to zero
+    // rows, and the left join at the end restores those docs with
+    // signature 0 — matching Text.simhash64(NULL) = 0L exactly (its
+    // per-bit `when(NULL > 0, ...)` takes the otherwise-branch for every
+    // bit) instead of silently dropping the document from the sweep
     val hashed = docs
       .select(
         col(idCol).as("id"),
@@ -157,7 +161,10 @@ object Dedup {
     val sim = (0 until 64)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    votes.select(col("id"), sim.as("sim"))
+    docs
+      .select(col(idCol).as("id"))
+      .join(votes.select(col("id"), sim.as("sim")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("sim"), lit(0L)).as("sim"))
   }
 
   /** SimHash near-duplicate pairs within a hamming radius. Complete for
@@ -284,6 +291,16 @@ object Dedup {
       store: Option[graft.SnapshotStore] = None,
   ): DataFrame = {
     import docs.sparkSession.implicits._
+    // the WCC phase keys on Long vertex ids; a silent cast would turn
+    // string/UUID ids into NULLs deep inside the component rounds.
+    // Non-numeric ids: pre-assign Longs (e.g. EdgeBuilder.vidOf) first.
+    val idType = docs.schema(docs.schema.fieldIndex(idCol)).dataType
+    require(
+      Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"nearDupClusters needs an integral id column; '$idCol' is " +
+        s"${idType.typeName} — hash it to a Long first (EdgeBuilder.vidOf)",
+    )
     val pairs =
       minhashPairs(docs, idCol, textCol, shingleLen, numHashes, threshold,
         hash)

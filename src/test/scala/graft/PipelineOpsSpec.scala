@@ -167,14 +167,23 @@ class PipelineOpsSpec extends GraftSuite {
         // 60-bit hash => bits 60..63 never get a positive vote
         assert(fast.values.forall(s => (s >>> 60) == 0L))
     }
-    // empty / whitespace-only text must not drop out of the explode path
-    val edge = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
-    val fastE = Dedup.simhashSignatures(edge, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val slowE = edge
+    // empty / whitespace-only / NULL text must not drop out of the
+    // explode path: NULL explodes to zero rows, and the doc must come
+    // back with signature 0 (= Text.simhash64(NULL), whose per-bit
+    // `when` swallows the NULL), not vanish from the sweep
+    val edge = Seq((1L, ""), (2L, "   "), (3L, null))
+      .toDF("doc_id", "text")
+    def sigMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      ).toMap
+    val fastE = sigMap(
+      Dedup.simhashSignatures(edge, "doc_id", "text").collect())
+    val slowE = sigMap(edge
       .select(col("doc_id"), Text.simhash64(col("text")).as("s"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(fastE == slowE && fastE.size == 2)
+      .collect())
+    assert(fastE == slowE && fastE.size == 3)
+    assert(fastE(3L).contains(0L), "NULL text must yield signature 0")
   }
 
   test("jaccard block cap: all-pairs core + representative-only tail") {
