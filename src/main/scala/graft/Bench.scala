@@ -27,10 +27,15 @@ object Bench {
     // map iteration order. q_wcc_sizes touches every hot path — scan,
     // co-occurrence join, CSR build, superstep loop, aggregation.
     // Recorded as "warmup_sec" in the JSON, NOT in total/queries.
+    // NonFatal only: a fatal error (OOM, linkage) here means a corrupted
+    // JVM — proceeding would taint every number in the timed sweep
     val warmup = {
       val t0 = System.nanoTime()
       try SparkEntry.queries("q_wcc_sizes")(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // a failed query must NOT report a plausible wall time: emit -1 and

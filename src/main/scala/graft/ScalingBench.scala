@@ -95,8 +95,16 @@ object ScalingBench {
       .config("spark.executor.memory", s"${execMemMb}m")
       // executors must fetch the app classes into their APP classloader
       // (sbt package jar via GRAFT_JAR) — lambdas in task closures do not
-      // deserialize from the system classpath alone
-      .config("spark.jars", sys.env.getOrElse("GRAFT_JAR", ""))
+      // deserialize from the system classpath alone. Fail HERE if unset:
+      // otherwise the run dies minutes later with an obscure
+      // ClassNotFound/closure-deserialization error inside a task
+      .config("spark.jars", {
+        if (clusterN.isDefined)
+          require(sys.env.get("GRAFT_JAR").exists(_.nonEmpty),
+            "clusterN mode needs GRAFT_JAR=<path to sbt-package jar> " +
+              "(executors fetch app classes from it)")
+        sys.env.getOrElse("GRAFT_JAR", "")
+      })
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -200,6 +200,25 @@ object SparkEntry {
         col("o_totalprice"),
       )
     },
+    // hot-key-safe as-of variant: window partitioned by (key, month
+    // bucket) + carry-in pass — same semantics, so it shares q_asof_order's
+    // DuckDB ASOF oracle; a viral user id splits across its months
+    "q_asof_bucketed" -> { (s, d) =>
+      val o = Relational.latestPerKeyTs(
+        t(s, d, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+      Relational.asofJoinBucketed(
+        t(s, d, "events").select("event_id", "user_id", "ts"),
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        "user_id", "ts",
+        "o_custkey", "o_orderdate",
+        tsCol => date_trunc("month", tsCol),
+      ).select(
+        col("event_id"),
+        col("user_id"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+      )
+    },
     // G8 grouping sets: rollup over (priority, status) with subtotal and
     // grand-total rows (NULL-marked, like the SQL standard)
     "q_rollup_orders" -> { (s, d) =>
@@ -242,6 +261,13 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairsWithin(t(s, d, "documents"), "doc_id", "text",
         "source")),
+    // substring-level dedup (ExactSubstr half of Lee et al. 2022):
+    // maximal runs of 8-token windows whose fingerprint repeats anywhere
+    // in the corpus → (doc_id, start token offset, token length)
+    "q_substr_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        k = 8, hash = sketchHash)
+        .select(col("id").as("doc_id"), col("start"), col("len"))),
     "q_ann_cosine" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(
@@ -512,6 +538,16 @@ object SparkEntry {
           |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
           |FROM events e ASOF LEFT JOIN o
           |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""".stripMargin,
+      // identical semantics to q_asof_order (the bucketed plan is an
+      // implementation strategy, not a semantic change) — same oracle
+      "q_asof_bucketed" ->
+        """WITH o AS (
+          |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+          |      ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1)
+          |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+          |FROM events e ASOF LEFT JOIN o
+          |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""".stripMargin,
       "q_rollup_orders" ->
         """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -523,21 +559,21 @@ object SparkEntry {
           |FROM documents GROUP BY 1""".stripMargin,
       "q_text_stats" ->
         """SELECT doc_id,
-          |  len(string_split_regex(text, '\s+')) AS n_tokens,
-          |  len(list_distinct(string_split_regex(text, '\s+'))) AS n_distinct_tokens,
+          |  len(string_split_regex(trim(text),'\s+')) AS n_tokens,
+          |  len(list_distinct(string_split_regex(trim(text),'\s+'))) AS n_distinct_tokens,
           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish,
           |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS BIGINT) AS n_punct,
           |  n_chars
           |FROM documents""".stripMargin,
       "q_lang_guess" ->
         """WITH s AS (SELECT doc_id,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |  len(list_filter(string_split_regex(trim(lower(text)),'\s+'),
           |      t -> t IN ('the','a','of','and','to'))) AS en_cnt,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |  len(list_filter(string_split_regex(trim(lower(text)),'\s+'),
           |      t -> t IN ('der','die','das','und','ein'))) AS de_cnt,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |  len(list_filter(string_split_regex(trim(lower(text)),'\s+'),
           |      t -> t IN ('le','la','les','et','un'))) AS fr_cnt,
-          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |  len(list_filter(string_split_regex(trim(lower(text)),'\s+'),
           |      t -> t IN ('el','los','las','y','una'))) AS es_cnt
           |FROM documents)
           |SELECT doc_id, en_cnt, de_cnt,
@@ -550,14 +586,14 @@ object SparkEntry {
       "q_fingerprint" ->
         """SELECT doc_id,
           |  sha256(array_to_string(list_sort(list_distinct(
-          |    string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+          |    string_split_regex(trim(lower(text)),'\s+'))), ' ')) AS fp
           |FROM documents""".stripMargin,
       // mirrors Dedup.jaccardPairsWithin's block cap (maxBlock=4096):
       // all-pairs over each block's 4096 smallest ids, plus overflow
       // members vs the block representative (rn=1 = min id) only
       "q_jaccard_pairs" ->
         """WITH t AS (SELECT doc_id, source,
-          |  list_distinct(string_split_regex(lower(text), '\s+')) AS toks,
+          |  list_distinct(string_split_regex(trim(lower(text)),'\s+')) AS toks,
           |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
           |FROM documents)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -567,13 +603,33 @@ object SparkEntry {
           |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
           |  AND ((a.rn <= 4096 AND b.rn <= 4096)
           |       OR (a.rn = 1 AND b.rn > 4096))""".stripMargin,
+      // mirrors Dedup.duplicateSpans(k=8) exactly: every 8-token window's
+      // portable-hash fingerprint, fingerprints occurring > 1x anywhere
+      // mark their positions duplicated, consecutive positions merge into
+      // maximal runs (gaps-and-islands), span length = runLen + 7
+      "q_substr_spans" ->
+        s"""WITH tks AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)), '\\s+') AS tk
+           |FROM documents),
+           |gi AS (SELECT doc_id, tk,
+           |  unnest(generate_series(1, len(tk) - 7)) AS i FROM tks),
+           |g AS (SELECT doc_id, i - 1 AS pos,
+           |  ${ph("array_to_string(tk[i:i+7], ' ')")} AS fp FROM gi),
+           |d AS (SELECT fp FROM g GROUP BY fp HAVING count(*) > 1),
+           |dp AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (fp)),
+           |isl AS (SELECT doc_id, pos,
+           |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           |FROM dp)
+           |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
+           |  CAST(count(*) + 7 AS BIGINT) AS len
+           |FROM isl GROUP BY doc_id, isl""".stripMargin,
       // ---- sketch-pipeline oracles: the engine runs these queries in
       // Hash64.Portable mode, and ph() below is the DuckDB mirror of
       // that hash (md5-derived 60-bit), so every hash, band key, bucket
       // and centroid routes IDENTICALLY in both engines ----
       "q_simhash" ->
         s"""WITH tk AS (SELECT doc_id,
-           |  unnest(string_split_regex(lower(text), '\\s+')) AS t
+           |  unnest(string_split_regex(trim(lower(text)),'\\s+')) AS t
            |FROM documents),
            |hs AS (SELECT doc_id, ${ph("t")} AS h FROM tk),
            |votes AS (SELECT doc_id, r.b AS b,
@@ -588,7 +644,7 @@ object SparkEntry {
            |FROM documents d LEFT JOIN packed p ON p.doc_id = d.doc_id""".stripMargin,
       "q_simhash_pairs" ->
         s"""WITH tk AS (SELECT doc_id,
-           |  unnest(string_split_regex(lower(text), '\\s+')) AS t
+           |  unnest(string_split_regex(trim(lower(text)),'\\s+')) AS t
            |FROM documents),
            |hs AS (SELECT doc_id, ${ph("t")} AS h FROM tk),
            |votes AS (SELECT doc_id, r.b AS b,
@@ -609,7 +665,7 @@ object SparkEntry {
            |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin,
       "q_minhash_pairs" ->
         s"""WITH tks AS (SELECT doc_id,
-           |  string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+           |  string_split_regex(trim(lower(text)),'\\s+') AS tk FROM documents),
            |shg AS (SELECT doc_id,
            |    list_distinct(CASE WHEN len(tk) < 3
            |      THEN [array_to_string(tk, ' ')]
@@ -640,7 +696,7 @@ object SparkEntry {
       // min-id survivor rule — mirrors Dedup.nearDupClusters exactly
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE tks AS (SELECT doc_id,
-           |  string_split_regex(lower(text), '\\s+') AS tk FROM documents),
+           |  string_split_regex(trim(lower(text)),'\\s+') AS tk FROM documents),
            |shg AS MATERIALIZED (SELECT doc_id,
            |    list_distinct(CASE WHEN len(tk) < 3
            |      THEN [array_to_string(tk, ' ')]
@@ -687,7 +743,7 @@ object SparkEntry {
            |      THEN v[d] ELSE -v[d] END) AS dot
            |  FROM ed CROSS JOIN range(4) r(i) GROUP BY 1, 2),
            |bk AS (SELECT vec_id,
-           |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i)
+           |    CAST(sum(CASE WHEN round(dot, 6) > 0 THEN (1::BIGINT << i)
            |      ELSE 0::BIGINT END) AS BIGINT) AS bucket
            |  FROM comp GROUP BY 1),
            |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -714,7 +770,7 @@ object SparkEntry {
            |      THEN v[d] ELSE -v[d] END) AS dot
            |  FROM ed CROSS JOIN range(4) r(i) GROUP BY 1, 2),
            |bk AS (SELECT vec_id,
-           |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i)
+           |    CAST(sum(CASE WHEN round(dot, 6) > 0 THEN (1::BIGINT << i)
            |      ELSE 0::BIGINT END) AS BIGINT) AS bucket
            |  FROM comp GROUP BY 1),
            |mgn AS (SELECT c.vec_id, c.i, b.bucket,

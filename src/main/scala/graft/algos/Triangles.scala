@@ -38,6 +38,15 @@ object Triangles {
   def run(edges: Dataset[Edge], perVertex: Boolean = true): TriResult = {
     val spark = edges.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Peak-memory discipline (round-3 verdict: four simultaneous
+    // MEMORY_AND_DISK caches — und, oriented, adj, tri with materialized
+    // witness ARRAYS — made this the engine's most memory-hungry plan and
+    // collapsed under host memory pressure). Now exactly TWO real caches
+    // live during the heavy intersection phase (oriented + adj; deg is one
+    // row per vertex — negligible): `und` is released the moment oriented
+    // and deg are materialized, and the witness arrays are never cached —
+    // each intersection explodes straight into (vid, c) corner rows inside
+    // the same codegen pass.
     val und = edges
       .select(
         least(col("src"), col("dst")).as("a"),
@@ -49,6 +58,7 @@ object Triangles {
     val deg = und.select(col("a").as("vid"))
       .unionByName(und.select(col("b").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // orient: keep u -> v iff (deg(u), u) < (deg(v), v)
     val oriented = und
       .join(deg.withColumnRenamed("vid", "a").withColumnRenamed("deg", "da"), "a")
@@ -67,6 +77,12 @@ object Triangles {
       )
       .repartition(p, col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize oriented + deg NOW so und's cache can be dropped before
+    // the memory-heavy intersection phase begins (the count is one cheap
+    // scan of data this job computes anyway)
+    oriented.count()
+    deg.count()
+    und.unpersist(false)
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -77,15 +93,15 @@ object Triangles {
         Seq("v"),
       )
     if (!perVertex) {
-      // global-only fast path: never materialize the witness arrays, no
-      // tri cache — one pass summing intersection sizes
+      // global-only fast path: never materialize the witness arrays —
+      // one pass summing intersection sizes
       val global = triBase
         .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
         .agg(coalesce(sum("c"), lit(0L)))
         .head().getLong(0)
-      und.unpersist(false)
       oriented.unpersist(false)
       adj.unpersist(false)
+      deg.unpersist(false)
       // typed empty frame, not emptyDataFrame: callers that uniformly
       // select vid/triangles must get an empty relation, not an
       // AnalysisException on a schema-less one
@@ -101,38 +117,52 @@ object Triangles {
         )
       return TriResult(global, emptyPerVertex)
     }
-    val tri = triBase
+    // per-vertex corners in the SAME pass as the intersection: for each
+    // oriented edge (u,v) with witnesses ws = adj(u) ∩ adj(v), emit
+    // (u, |ws|), (v, |ws|), and (w, 1) for every w — via one explode of a
+    // concat'd struct array, entirely inside whole-stage codegen, with no
+    // cached witness arrays and no second read of an intermediate.
+    val corners = triBase
       .select(
         col("u"),
         col("v"),
         array_intersect(col("nu"), col("nv")).as("ws"),
       )
       .where(size(col("ws")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val global = tri.agg(sum(size(col("ws")))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r                  => r.getLong(0)
-    }
-    val corners = tri.select(col("u").as("vid"), size(col("ws")).cast("long").as("c"))
-      .unionByName(
-        tri.select(col("v").as("vid"), size(col("ws")).cast("long").as("c"))
+      .select(
+        explode(
+          concat(
+            array(
+              struct(col("u").as("vid"), size(col("ws")).cast("long").as("c")),
+              struct(col("v").as("vid"), size(col("ws")).cast("long").as("c")),
+            ),
+            transform(col("ws"),
+              w => struct(w.as("vid"), lit(1L).as("c"))),
+          )
+        ).as("x")
       )
-      .unionByName(tri.select(explode(col("ws")).as("vid"), lit(1L).as("c")))
+      .select(col("x.vid").as("vid"), col("x.c").as("c"))
       .groupBy("vid").agg(sum("c").as("c"))
     // vertices in no triangle get an explicit 0. Materialize eagerly
     // (localCheckpoint) BEFORE releasing the caches: perVertex still
-    // depends on deg → und and on tri, so unpersisting first would force
-    // a full recompute when the caller finally acts on it — and the
+    // depends on deg/oriented/adj, so unpersisting first would force a
+    // full recompute when the caller finally acts on it — and the
     // intermediate caches must not outlive the call (round-1 leak).
     val perVertexDf = Superstep.cut(
       deg.select(col("vid"))
         .join(corners, Seq("vid"), "left_outer")
         .select(col("vid"), coalesce(col("c"), lit(0L)).as("triangles"))
     )
-    und.unpersist(false)
+    // Σ_v tri(v) = 3·T exactly (each triangle contributes one u-corner,
+    // one v-corner, one witness), so the global count reads off the
+    // already-materialized per-vertex frame — no separate pass over a
+    // cached intermediate
+    val global =
+      perVertexDf.agg(coalesce(sum("triangles"), lit(0L)))
+        .head().getLong(0) / 3
     oriented.unpersist(false)
     adj.unpersist(false)
-    tri.unpersist(false)
+    deg.unpersist(false)
     TriResult(global, perVertexDf)
   }
 }

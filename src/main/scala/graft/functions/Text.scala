@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenization (mirrors `string_split_regex(s, '\s+')`). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokenization (mirrors
+    * `string_split_regex(trim(s), '\s+')`). The trim matters for the
+    * cross-engine oracles: leading/trailing whitespace would otherwise
+    * produce empty-string fields whose count and position differ between
+    * Java's split and DuckDB's string_split_regex — trimming first makes
+    * both dialects agree for every input (a whitespace-only or empty
+    * string still yields the single token "" in both).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -266,6 +266,83 @@ object Dedup {
     jac(core, core).unionByName(jac(reps, overflow))
   }
 
+  /** Substring-level duplicate spans — the ExactSubstr half of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), re-shaped for the engine's built-in-only style: doc-level
+    * dedup ([[nearDupClusters]]) removes whole near-duplicate documents;
+    * THIS finds long token runs repeated anywhere in the corpus (boiler-
+    * plate, licenses, templated paragraphs) so a pipeline can cut the
+    * spans, not the documents.
+    *
+    * Mechanics (scale-shaped approximation of a suffix-array pass):
+    *   1. every k-token window of every doc → (doc, pos, fingerprint)
+    *      where the fingerprint hashes the window's space-joined tokens
+    *      (the [[graft.functions.Text.shingles]] gram form);
+    *   2. a fingerprint occurring more than once ANYWHERE (across docs or
+    *      within one) marks all its positions as duplicated — groupBy +
+    *      map-side partial count, then an ids-only left-semi join (no
+    *      window over the unbounded fingerprint key: a corpus-hot gram
+    *      collapses in the partial aggregate instead of buffering);
+    *   3. consecutive duplicated positions per doc merge into maximal
+    *      runs (gaps-and-islands: island = pos - row_number, window
+    *      bounded by DOC length, never by corpus size);
+    *   4. a run of m consecutive duplicated k-grams covers m + k - 1
+    *      tokens.
+    *
+    * Returns (id, start, len): token offset (0-based) and token length of
+    * each maximal duplicated span. Deterministic; exact for the hash
+    * (collision probability ~2^-60 portable / 2^-64 xx per gram pair).
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val tk = Text.tokens(lower(col(textCol)))
+    // docs with fewer than k tokens contribute no windows (empty array,
+    // NOT the whole-doc fallback shingle — a short doc has no k-token
+    // substring to deduplicate)
+    val grams = docs
+      .select(
+        col(idCol).as("id"),
+        posexplode(
+          when(
+            size(tk) >= k,
+            transform(
+              sequence(lit(0), size(tk) - k),
+              i => concat_ws(" ", slice(tk, i + 1, lit(k))),
+            ),
+          ).otherwise(array().cast("array<string>"))
+        ).as(Seq("pos", "g")),
+      )
+      .select(col("id"), col("pos"), hash.one(col("g")).as("fp"))
+    // materialized ONCE: both the duplicate-fingerprint aggregate and the
+    // position fetch read it, and the gram window lambda is interpreted
+    // (CodegenFallback) — same pattern as minhashPairs' shingles
+    val g = Superstep.cut(grams)
+    val dupFp = g.groupBy("fp")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select("fp")
+    val dupPos = g.join(dupFp, Seq("fp"), "left_semi")
+    val isl = dupPos.select(
+      col("id"),
+      col("pos"),
+      (col("pos") - row_number().over(
+        Window.partitionBy("id").orderBy("pos"))).as("isl"),
+    )
+    isl
+      .groupBy("id", "isl")
+      .agg(
+        min(col("pos")).cast("long").as("start"),
+        (count(lit(1)) + (k - 1)).as("len"),
+      )
+      .select(col("id"), col("start"), col("len"))
+  }
+
   /** Near-duplicate CLUSTERS with survivor selection — the operation a
     * production dedup actually runs (pairs are an intermediate; what the
     * pipeline needs is "keep one doc per duplicate group"):

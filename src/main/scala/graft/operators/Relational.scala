@@ -82,6 +82,101 @@ object Relational {
       .select(leftCols ++ rightCols: _*)
   }
 
+  /** Hot-key-safe as-of join: identical semantics to [[asofJoin]], but the
+    * window partitions by (key, COARSE TIME BUCKET) instead of the raw
+    * key, so one viral key's entire history never serializes into a
+    * single task — the per-task state is bounded by the bucket width, and
+    * a hot key splits across as many tasks as it spans buckets.
+    *
+    * Mechanics (two passes instead of one):
+    *   1. the [[asofJoin]] union-and-window pass, partitioned by
+    *      (key, bucket(ts)) — matches rights within the left row's own
+    *      bucket;
+    *   2. a carry-in pass for left rows whose bucket has no earlier right
+    *      row: per (key, bucket), the latest right row (`max(struct(ts,
+    *      payload))` — map-side combinable, no window over the raw key),
+    *      then a window over each key's BUCKETS (one row per bucket —
+    *      bounded by the time range, not the row count) carries the
+    *      newest right row of any earlier bucket forward; a final
+    *      (key, bucket) equi-join + coalesce picks within-bucket match
+    *      first, carry-in otherwise.
+    *
+    * `bucket` must be a monotone non-decreasing, orderable function of
+    * the timestamp applied identically to both sides (e.g.
+    * `date_trunc("month", _)` or integer division for long ts). Same
+    * determinism contract as [[asofJoin]]: (rightKey, rightTs) unique.
+    */
+  def asofJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      rightKey: String,
+      rightTs: String,
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+  ): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column collision across sides: $overlap")
+    val rStruct = struct(right.columns.map(col): _*)
+    val rightTagged = right.select(
+      col(rightKey).as("__k"),
+      col(rightTs).as("__t"),
+      bucket(col(rightTs)).as("__b"),
+      lit(0).as("__side"),
+      rStruct.as("__r"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(left.schema.fields)).as("__l"),
+    )
+    val leftTagged = left.select(
+      col(leftKey).as("__k"),
+      col(leftTs).as("__t"),
+      bucket(col(leftTs)).as("__b"),
+      lit(1).as("__side"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(right.schema.fields)).as("__r"),
+      struct(left.columns.map(col): _*).as("__l"),
+    )
+    val w = Window
+      .partitionBy("__k", "__b")
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = rightTagged
+      .unionByName(leftTagged)
+      .select(
+        col("__k"),
+        col("__b"),
+        col("__side"),
+        col("__l"),
+        last(col("__r"), ignoreNulls = true).over(w).as("__m"),
+      )
+      .where(col("__side") === 1)
+    // carry-in: newest right row of any EARLIER bucket, per (key, bucket).
+    // One row per (key, bucket) — the window below is over a key's bucket
+    // COUNT (bounded by time range / bucket width), never its row count.
+    val rb = rightTagged
+      .groupBy(col("__k"), col("__b"))
+      .agg(max(struct(col("__t"), col("__r"))).as("__mx"))
+    val allKB = leftTagged.select(col("__k"), col("__b"))
+      .unionByName(rightTagged.select(col("__k"), col("__b")))
+      .distinct()
+      .join(rb, Seq("__k", "__b"), "left_outer")
+    val wB = Window
+      .partitionBy("__k")
+      .orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allKB.select(
+      col("__k"),
+      col("__b"),
+      last(col("__mx"), ignoreNulls = true).over(wB).as("__c"),
+    )
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightCols =
+      right.columns.map(c => coalesce(col(s"__m.$c"), col(s"__c.__r.$c")).as(c))
+    within
+      .join(carry, Seq("__k", "__b"), "left_outer")
+      .select(leftCols ++ rightCols: _*)
+  }
+
   /** Deterministic (key, ts) dedup helper for the as-of right side: keeps
     * the row with the greatest `tieCol` per (key, ts).
     */

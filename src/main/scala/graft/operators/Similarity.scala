@@ -80,22 +80,31 @@ object Similarity {
   /** Sign-random-projection bits: bit i = [dot(v, h_i) > 0] where h_i is a
     * deterministic ±1 hyperplane (sign of hash(i, dim) — xxhash64 by
     * default, the md5-derived portable hash in oracle mode).
+    *
+    * The projection is ROUNDED to 6 decimals before the sign test (same
+    * convention as the sim/margin columns): the raw float64 sum is
+    * reduction-order sensitive in the last ulp, so two engines summing in
+    * different orders could flip a bit for a projection within an ulp of
+    * zero and route the vector to a different bucket nondeterministically.
     */
   def srpBits(vec: Column, numBits: Int, hash: Hash64 = Hash64.Xx): Column =
     transform(
       sequence(lit(0), lit(numBits - 1)),
       i =>
         when(
-          aggregate(
-            zip_with(
-              vec,
-              sequence(lit(0), size(vec) - 1),
-              (x, d) =>
-                when(hash.pair(i, d).bitwiseAND(lit(1L)) === 1L, x)
-                  .otherwise(-x),
+          round(
+            aggregate(
+              zip_with(
+                vec,
+                sequence(lit(0), size(vec) - 1),
+                (x, d) =>
+                  when(hash.pair(i, d).bitwiseAND(lit(1L)) === 1L, x)
+                    .otherwise(-x),
+              ),
+              lit(0.0),
+              (acc, x) => acc + x,
             ),
-            lit(0.0),
-            (acc, x) => acc + x,
+            6,
           ) > 0,
           lit(1L),
         ).otherwise(lit(0L)),
@@ -150,11 +159,14 @@ object Similarity {
       hash: Hash64 = Hash64.Xx,
   ): Column = {
     val dots = srpDots(vec, bandBits, hash)
+    // sign decision rounded to 6 decimals — must match [[srpBits]] (and
+    // the oracle SQL) exactly, or the exact-bucket probe would diverge
+    // from the corpus-side bucketing near a zero projection
     val bucket = aggregate(
       zip_with(
         dots,
         lit((0 until bandBits).map(i => 1L << i).toArray),
-        (d, p) => when(d > 0, p).otherwise(lit(0L)),
+        (d, p) => when(round(d, 6) > 0, p).otherwise(lit(0L)),
       ),
       lit(0L),
       (acc, x) => acc + x,
@@ -351,10 +363,30 @@ object Similarity {
       .agg(min(struct(col("cd"), col("cent"), col(vec))).as("m"))
       .select(col(id), col("m.cent").as("cent"), col(s"m.$vec").as(vec))
 
-  /** Exact cosine near-duplicate pairs: all corpus pairs with
-    * cosine >= threshold, bucketed by SRP band first so the pair join is
-    * band-local (near-identical vectors agree on all bits with high
-    * probability). Returns (id_a, id_b) with id_a < id_b.
+  /** Exact-verified cosine near-duplicate pairs: corpus pairs with
+    * cosine >= threshold, found through `numBands` INDEPENDENT SRP bands
+    * (multi-band OR-amplification, the same recall device as
+    * [[graft.operators.Dedup.minhashPairs]]' banding): band r buckets
+    * every vector by bits [r*bandBits, (r+1)*bandBits); a pair is a
+    * candidate if it collides in ANY band, then the exact cosine verify
+    * makes precision exact. Single-band miss probability for a pair at
+    * angle θ is 1-(1-θ/π)^bandBits per band; OR-ing b bands raises
+    * recall to 1-(miss)^b.
+    *
+    * Per-bucket block cap (the [[graft.operators.Dedup.jaccardPairsWithin]]
+    * `maxBlock` policy): all-pairs inside one bucket is quadratic in
+    * bucket size, so a degenerate corpus (many near-identical vectors —
+    * exactly the near-dup use case!) would melt one key at 100 TB.
+    * Buckets larger than `maxBucket` contribute (a) all-pairs over their
+    * `maxBucket` smallest ids and (b) one comparison per overflow member
+    * against the bucket representative (min id) — O(bucket) tail, every
+    * vector still compared at least once, fully deterministic. (Identical
+    * vectors all land in the same bucket in EVERY band, so the cap
+    * binds the same pairs per band and the result stays deterministic.)
+    *
+    * Candidates ride ids-only (vectors re-joined per side for the
+    * verify — the wide arrays never ride the candidate shuffle).
+    * Returns (id_a, id_b, sim) with id_a < id_b, sim >= threshold.
     */
   def cosineNearDupCandidates(
       corpus: DataFrame,
@@ -362,20 +394,68 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       bandBits: Int = 8,
+      numBands: Int = 4,
+      maxBucket: Int = 4096,
       hash: Hash64 = Hash64.Xx,
   ): DataFrame = {
+    require(numBands >= 1 && bandBits >= 1, "numBands, bandBits >= 1")
+    // NOT materialized: this is a cast-only projection — re-scanning the
+    // source for the verify joins is cheaper than pinning |C|·dim doubles
     val c = corpus.select(
       col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec"),
-      srpBucket(asDouble(col(vecCol)), bandBits, hash).as("bucket"),
     )
-    c.as("a")
-      .join(c.as("b"), col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
+    val bits = srpBits(col("vec"), numBands * bandBits, hash)
+    val powers = lit((0 until bandBits).map(i => 1L << i).toArray)
+    val bandKeys = transform(
+      sequence(lit(0), lit(numBands - 1)),
+      r =>
+        aggregate(
+          zip_with(
+            slice(bits, r * bandBits + 1, lit(bandBits)),
+            powers,
+            (b, p) => b * p,
+          ),
+          lit(0L),
+          (acc, x) => acc + x,
+        ),
+    )
+    // one (band, bucket, rn) row per (vector, band); materialized ONCE —
+    // the SRP bit computation is the expensive part and feeds both sides
+    // of the candidate self-join plus the overflow branch
+    val banded = graft.Superstep.cut(
+      c.select(col("id"), posexplode(bandKeys).as(Seq("band", "bucket")))
+        .select(
+          col("id"),
+          col("band"),
+          col("bucket"),
+          row_number()
+            .over(Window.partitionBy("band", "bucket").orderBy("id"))
+            .as("rn"),
+        )
+    )
+    def pairsOf(a: DataFrame, b: DataFrame) =
+      a.as("a")
+        .join(
+          b.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"),
+        )
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val core = banded.where(col("rn") <= maxBucket)
+    val reps = banded.where(col("rn") === 1)
+    val overflow = banded.where(col("rn") > maxBucket)
+    val cand = pairsOf(core, core)
+      .unionByName(pairsOf(reps, overflow))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(c.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(c.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
       .select(
-        col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
-        cosine(col("a.vec"), col("b.vec")).as("sim"),
+        col("id_a"),
+        col("id_b"),
+        cosine(col("va"), col("vb")).as("sim"),
       )
       .where(col("sim") >= threshold)
   }

@@ -41,9 +41,41 @@ object Internals {
         s"no column $name in ${attrs.map(_.name)}"))
     val partitioning = HashPartitioning(Seq(attr(hashCol)), n)
     val ordering = sortCols.map(c => SortOrder(attr(c), Ascending))
+    val rdd = df.queryExecution.toRdd
+    // cheap sanity guard: a caller whose upstream does NOT actually have
+    // n partitions would silently produce wrong exchange-free joins; the
+    // partition count is free to check (driver-side metadata only).
+    // Exception: an EMPTY upstream (Catalyst's empty-relation propagation
+    // collapses it to 0/1 partitions) — no rows, no layout to violate;
+    // the isEmpty job only runs on the mismatch path and costs ~nothing
+    // there. Full per-row hash validation stays opt-in via the debug
+    // property (it forces an extra pass over the data).
+    require(rdd.getNumPartitions == n || rdd.isEmpty(),
+      s"assumeHashPartitioned($hashCol, $n): upstream has " +
+        s"${rdd.getNumPartitions} partitions — the declared layout is false")
+    if (sys.props.get("graft.internals.verifyLayout").contains("true")) {
+      val hashIdx = attrs.indexWhere(_.name == hashCol)
+      val bad = rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val mismatched = rows.exists { r =>
+          val k = r.getLong(hashIdx)
+          // seed 42 — the same default HashPartitioning's own
+          // partitionIdExpression uses
+          val exp = org.apache.spark.sql.catalyst.expressions.Pmod(
+            new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+              org.apache.spark.sql.catalyst.expressions.Literal(k))),
+            org.apache.spark.sql.catalyst.expressions.Literal(n),
+          ).eval(null).asInstanceOf[Int]
+          exp != pid
+        }
+        if (mismatched) Iterator.single(pid) else Iterator.empty
+      }.take(1)
+      require(bad.isEmpty,
+        s"assumeHashPartitioned($hashCol, $n): rows in partition " +
+          s"${bad.headOption.getOrElse(-1)} violate the declared hash layout")
+    }
     Dataset.ofRows(
       spark,
-      LogicalRDD(attrs, df.queryExecution.toRdd, partitioning, ordering,
+      LogicalRDD(attrs, rdd, partitioning, ordering,
         isStreaming = false)(spark),
     )
   }

@@ -382,6 +382,86 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("duplicate spans: cross-doc + within-doc runs, exact offsets") {
+    // doc 1: 4 unique + the 10-token shared run + 2 unique
+    // doc 2: the shared run + 2 unique  -> one maximal span each
+    // doc 3: all unique                 -> no spans
+    // doc 4: a 4-token phrase repeated twice WITHIN the doc -> two spans
+    // doc 5: shorter than k             -> no windows, no spans
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val phrase = "r0 r1 r2 r3"
+    val df = Seq(
+      (1L, s"u1 u2 u3 u4 $shared z1 z2"),
+      (2L, s"$shared y1 y2"),
+      (3L, (0 until 12).map(i => s"q$i").mkString(" ")),
+      (4L, s"$phrase a b c $phrase"),
+      (5L, "too short"),
+    ).toDF("doc_id", "text")
+    for (h <- Seq[Hash64](Hash64.Xx, Hash64.Portable)) {
+      val got = Dedup.duplicateSpans(df, "doc_id", "text", k = 4, hash = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // doc 1 positions 4..10 duplicated (7 grams -> len 7+3), doc 2
+      // positions 0..6; doc 4 grams at 0 and 7 (non-consecutive -> two
+      // spans of exactly k)
+      assert(got == Set(
+        (1L, 4L, 10L),
+        (2L, 0L, 10L),
+        (4L, 0L, 4L),
+        (4L, 7L, 4L),
+      ), s"mode $h: got $got")
+    }
+  }
+
+  test("duplicate spans: empty/null/whitespace docs yield no windows") {
+    val df = Seq((1L, ""), (2L, null), (3L, "   "), (4L, "a b c d e"),
+        (5L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only the two identical 5-token docs share grams: positions 0..1
+    // each -> one maximal span covering the whole doc
+    assert(got == Set((4L, 0L, 5L), (5L, 0L, 5L)), s"got $got")
+  }
+
+  test("cosine near-dup: multi-band recall + per-bucket cap, no quadratic key") {
+    def jitter(v: Array[Float]): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) 1e-3f else -1e-3f) }
+    val df = (vecs ++ Seq((100L, jitter(vecs(5)._2)), (101L, jitter(vecs(20)._2))))
+      .toDF("vec_id", "embedding")
+    // multi-band OR: recall vs the brute-force >= threshold pair set
+    val brute = {
+      val c = df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("sim"))
+        .where(col("sim") >= 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = Similarity
+      .cosineNearDupCandidates(df, "vec_id", "embedding",
+        threshold = 0.999, bandBits = 4, numBands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(brute.subsetOf(got.keySet),
+      s"multi-band missed ${brute.diff(got.keySet)}")
+    got.foreach { case (pair, sim) =>
+      assert(sim >= 0.999, s"pair $pair below threshold: $sim")
+    }
+    // per-bucket cap: 10 identical vectors land in one bucket in EVERY
+    // band; maxBucket=4 -> C(4,2) core pairs + 6 overflow-vs-rep pairs,
+    // identical across bands (dedup'd), never the 45 all-pairs
+    val same = (0L until 10L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity
+      .cosineNearDupCandidates(same, "vec_id", "embedding",
+        threshold = 0.9, bandBits = 4, numBands = 3, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val core = for { a <- 0L until 4L; b <- (a + 1) until 4L } yield (a, b)
+    val tail = (4L until 10L).map(i => (0L, i))
+    assert(capped.toSeq == (core ++ tail).sorted, s"got ${capped.toSeq}")
+  }
+
   test("multimodal plumbing: deterministic fake decode, exact features") {
     val media = Multimodal.fromText(
       Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text"),
@@ -417,6 +497,35 @@ class PipelineOpsSpec extends GraftSuite {
       (2L, 50L) -> Some(200L),
       (3L, 100L) -> None,      // key absent from the right side
     ), s"got $got")
+  }
+
+  test("bucketed as-of join == plain as-of join (hot key, boundaries, no-match)") {
+    import graft.operators.Relational
+    val r = new scala.util.Random(13)
+    // key 1 is HOT (most of both sides); keys 2..5 sparse; key 6 appears
+    // only on the left (null-match path); right ts hits bucket boundaries
+    // (multiples of 10) so the carry-in vs within-bucket split is exercised
+    val right = ((0 until 200).map(_ =>
+        (r.nextInt(5).toLong + 1, r.nextInt(30).toLong * 10)) ++
+        (0 until 200).map(_ => (1L, r.nextInt(300).toLong)))
+      .distinct.zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("rk", "rt", "rid")
+    val left = ((0 until 300).map(_ => (1L, r.nextInt(320).toLong)) ++
+        (0 until 100).map(_ => (r.nextInt(6).toLong + 1, r.nextInt(320).toLong)))
+      .zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("lk", "lt", "lid")
+    val plain = Relational
+      .asofJoin(left, right, "lk", "lt", "rk", "rt")
+      .collect().map(_.toSeq).toSet
+    val bucketed = Relational
+      .asofJoinBucketed(left, right, "lk", "lt", "rk", "rt",
+        ts => floor(ts / 10))
+      .collect().map(_.toSeq).toSet
+    assert(bucketed == plain,
+      s"only-plain=${plain.diff(bucketed).take(3)} " +
+        s"only-bucketed=${bucketed.diff(plain).take(3)}")
   }
 
   test("latestPerKeyTs keeps exactly the max-tie row per (key, ts)") {
