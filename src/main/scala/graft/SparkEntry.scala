@@ -355,6 +355,23 @@ object SparkEntry {
         hash = sketchHash,
       )
     },
+    // one deterministic Lloyd refinement on top of the hash-sampled
+    // centroids (list-balance hedge): integer-quantized elementwise means,
+    // so the refined centroids are bit-identical cross-engine
+    "q_ivf_refined" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        emb,
+        emb.where(col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k = 5,
+        nlist = 16,
+        nprobe = 4,
+        hash = sketchHash,
+        refineIters = 1,
+      )
+    },
     // margin-ranked multi-probe: each query also probes the buckets at
     // its 2 nearest-margin bit flips (recall recovers toward brute force;
     // corpus is still bucketed once — the multiplier rides the query side)
@@ -799,6 +816,52 @@ object SparkEntry {
            |  FROM embeddings),
            |cents AS (SELECT vec_id AS cent, v AS cv FROM e
            |  ORDER BY ${ph("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+           |asg AS (SELECT vec_id, cent FROM (
+           |  SELECT e.vec_id, c.cent,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(-list_cosine_similarity(e.v, c.cv), 6),
+           |               c.cent) AS rn
+           |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+           |probes AS (SELECT vec_id AS query_id, cent FROM (
+           |  SELECT e.vec_id, c.cent,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(-list_cosine_similarity(e.v, c.cv), 6),
+           |               c.cent) AS rn
+           |  FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 4),
+           |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+           |  FROM probes p JOIN asg a ON a.cent = p.cent
+           |  JOIN e qe ON qe.vec_id = p.query_id
+           |  JOIN e ce ON ce.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.query_id)
+           |SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM scored) WHERE rnk <= 5""".stripMargin,
+      // q_ivf_ann + ONE Lloyd refinement: assignment to the hash-sampled
+      // centroids, then per-(centroid, dim) integer-quantized means
+      // (round(x*1e6) BIGINT sums — order-free-exact, one float division
+      // back), then the standard assign/probe/re-rank against the refined
+      // centroids. Mirrors Similarity.refineCentroids bit for bit.
+      "q_ivf_refined" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS cent, v AS cv FROM e
+           |  ORDER BY ${ph("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+           |a0 AS (SELECT vec_id, v, cent FROM (
+           |  SELECT e.vec_id, e.v, c.cent,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(-list_cosine_similarity(e.v, c.cv), 6),
+           |               c.cent) AS rn
+           |  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+           |ad AS (SELECT cent, v,
+           |  unnest(generate_series(1, len(v))) AS d FROM a0),
+           |cm AS (SELECT cent, d,
+           |    CAST(sum(CAST(round(v[d] * 1e6) AS BIGINT)) AS DOUBLE)
+           |      / (1e6 * count(*)) AS m
+           |  FROM ad GROUP BY 1, 2),
+           |cents AS (SELECT cent, list(m ORDER BY d) AS cv FROM cm GROUP BY 1),
            |asg AS (SELECT vec_id, cent FROM (
            |  SELECT e.vec_id, c.cent,
            |    row_number() OVER (PARTITION BY e.vec_id

@@ -43,6 +43,30 @@ object Superstep {
     df.localCheckpoint(true, level)
   }
 
+  /** Per-iteration lineage cut FUSED with a stats aggregate: the
+    * localCheckpoint is taken LAZILY and the aggregate is the action that
+    * materializes it — one job per round where cut-then-aggregate costs
+    * two. Semantics identical to [[cut]] + `df.agg(...).head()`: the agg
+    * scans every partition, so every block lands at `level` and the
+    * lineage truncates at job end, and the same LogicalRDD wrapper
+    * preserves partitioning/ordering for the next round's exchange-free
+    * joins. Used by the algorithms whose loop control needs per-round
+    * scalars (WCC's convergence count + comp-image estimate).
+    */
+  def cutAndAgg(
+      df: org.apache.spark.sql.DataFrame,
+      approxRows: Long,
+      aggs: Seq[org.apache.spark.sql.Column],
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Row) = {
+    val level =
+      if (approxRows > SerializedCutThreshold)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cp = df.localCheckpoint(false, level)
+    val row = cp.agg(aggs.head, aggs.tail: _*).head()
+    (cp, row)
+  }
+
   /** Run `body` with adaptive query execution disabled, restoring the
     * previous setting afterwards. Supersteps are fixed-shape jobs where
     * AQE hurts: its plan wrapper reports UnknownPartitioning, so every

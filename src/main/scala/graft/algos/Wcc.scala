@@ -149,18 +149,21 @@ object Wcc {
             col("oldComp"),
           )
       }
-      val mat = Superstep.cut(
+      // lineage cut + round stats in ONE job (round-3 verdict: the
+      // separate post-cut aggregate was a second small job per round —
+      // pure fixed overhead over the whole convergence trajectory)
+      val (mat, stats) = Superstep.cutAndAgg(
         next.select(
           col("vid"),
           col("comp"),
           (col("comp") < col("oldComp")).as("changed"),
         ),
         adjCount,
+        Seq(
+          coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)),
+          approx_count_distinct(col("comp")),
+        ),
       )
-      val stats = mat.agg(
-        coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)),
-        approx_count_distinct(col("comp")),
-      ).head()
       changed = stats.getLong(0)
       chHist = (changed, chHist._1)
       // approx (~2% rsd) is plenty for a broadcast-threshold decision;

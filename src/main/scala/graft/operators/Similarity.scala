@@ -283,16 +283,26 @@ object Similarity {
       nprobe: Int = 4,
       simDecimals: Int = 6,
       hash: Hash64 = Hash64.Xx,
+      refineIters: Int = 0,
   ): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
+    require(refineIters >= 0, "refineIters >= 0")
     val c = corpus.select(
       col(idCol).as("cid_"),
       asDouble(col(vecCol)).as("cvec"),
     )
-    val cents = c
+    val cents0 = c
       .orderBy(hash.one(col("cid_")), col("cid_"))
       .limit(nlist)
       .select(col("cid_").as("cent"), col("cvec").as("centvec"))
+    // bounded deterministic Lloyd refinement (round-3 verdict: the
+    // hash-sampled centroids can leave one list absorbing a large
+    // fraction of a clustered corpus; 1-2 refinements rebalance the
+    // lists toward the data's actual modes). Each round is one argmin
+    // assignment pass + one |C|·dim mean shuffle — bounded, and the
+    // assignment keeps the plan-pinned map-side min(struct) shape.
+    val cents = (1 to refineIters).foldLeft(cents0)((cs, _) =>
+      refineCentroids(c, cs, simDecimals))
     val bucketed = assignToNearestCentroid(c, "cid_", "cvec", cents,
       simDecimals)
       .select(col("cid_").as("neighbor_id"), col("cvec"), col("cent"))
@@ -331,6 +341,39 @@ object Similarity {
       .select(col("*"), row_number().over(w).as("rnk"))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long"))
+  }
+
+  /** One Lloyd round: assign every corpus vector to its nearest centroid
+    * (the plan-pinned map-side argmin), then replace each centroid with
+    * the elementwise MEAN of its assigned vectors. The mean is exact and
+    * order-independent: each element is quantized to a 1e-6-resolution
+    * BIGINT (`round(x*1e6)` — numeric round on DOUBLE is half-away-from-
+    * zero in both engines, the established rank_e7 convention), summed as
+    * integers (commutative-exact), and divided back in one float64
+    * division — so the refined centroids are bit-identical across engines
+    * and run-to-run, where a raw float64 sum would drift in the last ulp
+    * with reduction order and could flip downstream rounded-distance
+    * ties. Centroids whose list comes up empty drop out (standard Lloyd;
+    * deterministic because the assignment is).
+    */
+  private[graft] def refineCentroids(
+      c: DataFrame,
+      cents: DataFrame,
+      simDecimals: Int,
+  ): DataFrame = {
+    val asg = assignToNearestCentroid(c, "cid_", "cvec", cents, simDecimals)
+    asg
+      .select(col("cent"), posexplode(col("cvec")).as(Seq("pos", "x")))
+      .groupBy(col("cent"), col("pos"))
+      .agg(
+        (sum(round(col("x") * 1e6).cast("long")).cast("double") /
+          (lit(1e6) * count(lit(1)))).as("m"))
+      .groupBy(col("cent"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(
+        col("cent"),
+        transform(col("pm"), s => s.getField("m")).as("centvec"),
+      )
   }
 
   /** Nearest-centroid assignment for the CORPUS side of IVF: broadcast

@@ -339,6 +339,47 @@ class PipelineOpsSpec extends GraftSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF Lloyd refinement: recall holds, result deterministic") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 6)
+    def pairs(x: Array[org.apache.spark.sql.Row]) =
+      x.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity
+      .bruteForceTopK(df, q, "vec_id", "embedding", 5).collect())
+    def run() = Similarity
+      .ivfTopK(df, q, "vec_id", "embedding", 5, nlist = 8, nprobe = 4,
+        refineIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run()
+    val recall = exact.intersect(a.map(t => (t._1, t._2))).size.toDouble /
+      exact.size
+    assert(recall >= 0.8, s"refined recall $recall")
+    assert(run() == a, "refinement must be run-to-run deterministic")
+    // refinement moves centroids toward the 3 planted cluster modes: the
+    // max inverted-list share must not get WORSE than the unrefined
+    // hash-sample assignment (the list-balance hedge this exists for)
+    def maxShare(iters: Int): Double = {
+      val cents = (1 to iters).foldLeft(
+        df.select(col("vec_id").as("cid_"),
+            col("embedding").cast("array<double>").as("cvec"))
+          .orderBy(graft.functions.Hash64.Xx.one(col("cid_")), col("cid_"))
+          .limit(8)
+          .select(col("cid_").as("cent"), col("cvec").as("centvec"))
+      )((cs, _) => Similarity.refineCentroids(
+        df.select(col("vec_id").as("cid_"),
+          col("embedding").cast("array<double>").as("cvec")),
+        cs, 6))
+      val sizes = Similarity.assignToNearestCentroid(
+          df.select(col("vec_id").as("cid_"),
+            col("embedding").cast("array<double>").as("cvec")),
+          "cid_", "cvec", cents, 6)
+        .groupBy("cent").count().collect().map(_.getLong(1))
+      sizes.max.toDouble / sizes.sum
+    }
+    assert(maxShare(1) <= maxShare(0) + 1e-9,
+      s"refined max list share ${maxShare(1)} > unrefined ${maxShare(0)}")
+  }
+
   test("IVF with a single bucket degenerates to exact brute force") {
     val df = vecs.toDF("vec_id", "embedding")
     val q = df.where(col("vec_id") < 4)
