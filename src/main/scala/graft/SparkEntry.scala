@@ -355,6 +355,21 @@ object SparkEntry {
         hash = sketchHash,
       )
     },
+    // multi-band SRP cosine near-dup pairs (4 bands x 4 bits, per-bucket
+    // cap, exact rounded-cosine verify at threshold 0.4 — this corpus's
+    // max pairwise cosine is ~0.51, so a "near-dup" threshold returns
+    // nothing to check; 0.4 exercises the full pipeline with 32 rows)
+    "q_cosine_dups" -> { (s, d) =>
+      Similarity.cosineNearDupCandidates(
+        t(s, d, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold = 0.4,
+        bandBits = 4,
+        numBands = 4,
+        hash = sketchHash,
+      )
+    },
     // one deterministic Lloyd refinement on top of the hash-sampled
     // centroids (list-balance hedge): integer-quantized elementwise means,
     // so the refined centroids are bit-identical cross-engine
@@ -839,6 +854,38 @@ object SparkEntry {
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
            |  FROM scored) WHERE rnk <= 5""".stripMargin,
+      // mirrors Similarity.cosineNearDupCandidates(0.4, bandBits=4,
+      // numBands=4, maxBucket=4096): 16 SRP bits (rounded sign test),
+      // per-band 4-bit bucket keys, capped in-bucket pairs OR'd across
+      // bands, exact rounded-cosine verify
+      "q_cosine_dups" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |ed AS (SELECT vec_id, v,
+           |  unnest(generate_series(1, len(v))) AS d FROM e),
+           |comp AS (SELECT vec_id, r.i AS i,
+           |    sum(CASE WHEN (${ph("r.i || ',' || (d - 1)")}) & 1 = 1
+           |      THEN v[d] ELSE -v[d] END) AS dot
+           |  FROM ed CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+           |bits AS (SELECT vec_id, i,
+           |  CASE WHEN round(dot, 6) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+           |FROM comp),
+           |bk AS (SELECT vec_id, i // 4 AS band,
+           |    CAST(sum(b * (1::BIGINT << CAST(i % 4 AS INT))) AS BIGINT) AS bucket
+           |  FROM bits GROUP BY 1, 2),
+           |rn AS (SELECT vec_id, band, bucket,
+           |    row_number() OVER (PARTITION BY band, bucket
+           |      ORDER BY vec_id) AS rn FROM bk),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM rn a JOIN rn b ON a.band = b.band AND a.bucket = b.bucket
+           |    AND a.vec_id < b.vec_id
+           |    AND ((a.rn <= 4096 AND b.rn <= 4096)
+           |         OR (a.rn = 1 AND b.rn > 4096)))
+           |SELECT id_a, id_b,
+           |  round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+           |FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+           |JOIN e eb ON eb.vec_id = cand.id_b
+           |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4""".stripMargin,
       // q_ivf_ann + ONE Lloyd refinement: assignment to the hash-sampled
       // centroids, then per-(centroid, dim) integer-quantized means
       // (round(x*1e6) BIGINT sums — order-free-exact, one float division

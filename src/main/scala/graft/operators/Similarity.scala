@@ -440,6 +440,7 @@ object Similarity {
       numBands: Int = 4,
       maxBucket: Int = 4096,
       hash: Hash64 = Hash64.Xx,
+      simDecimals: Int = 6,
   ): DataFrame = {
     require(numBands >= 1 && bandBits >= 1, "numBands, bandBits >= 1")
     // NOT materialized: this is a cast-only projection — re-scanning the
@@ -498,7 +499,10 @@ object Similarity {
       .select(
         col("id_a"),
         col("id_b"),
-        cosine(col("va"), col("vb")).as("sim"),
+        // rounded BEFORE the threshold test (house convention): a raw
+        // float64 cosine within an ulp of the threshold would pass in
+        // one engine and fail in the other
+        round(cosine(col("va"), col("vb")), simDecimals).as("sim"),
       )
       .where(col("sim") >= threshold)
   }
