@@ -20,6 +20,9 @@ if [[ ! -d "$WORK/src" ]]; then
   mkdir -p "$WORK"
   git archive HEAD | tar -x -C "$WORK"
   git rev-parse HEAD > "$WORK/COMMIT"
+  # compile once on the full machine — otherwise the first leg compiles
+  # inside its 2-core taskset
+  ( cd "$WORK" && sbt -batch compile >/dev/null 2>&1 )
 fi
 echo "campaign source commit: $(cat "$WORK/COMMIT")"
 for i in $(seq "$START" $((START + N - 1))); do

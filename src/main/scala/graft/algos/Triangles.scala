@@ -77,12 +77,16 @@ object Triangles {
       )
       .repartition(p, col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize oriented + deg NOW so und's cache can be dropped before
-    // the memory-heavy intersection phase begins (the count is one cheap
-    // scan of data this job computes anyway)
-    oriented.count()
-    deg.count()
-    und.unpersist(false)
+    // per-vertex path only: materialize oriented + deg NOW so und's cache
+    // can be dropped before the memory-heavy intersection phase begins.
+    // The global-only path never materializes witness arrays — its peak
+    // is low enough that paying two extra materialization jobs to retire
+    // und early is a net loss (measured +~2 s at sf0.1)
+    if (perVertex) {
+      oriented.count()
+      deg.count()
+      und.unpersist(false)
+    }
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -99,6 +103,7 @@ object Triangles {
         .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
         .agg(coalesce(sum("c"), lit(0L)))
         .head().getLong(0)
+      und.unpersist(false)
       oriented.unpersist(false)
       adj.unpersist(false)
       deg.unpersist(false)

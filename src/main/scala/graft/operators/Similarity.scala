@@ -449,26 +449,39 @@ object Similarity {
       col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec"),
     )
-    val bits = srpBits(col("vec"), numBands * bandBits, hash)
-    val powers = lit((0 until bandBits).map(i => 1L << i).toArray)
-    val bandKeys = transform(
-      sequence(lit(0), lit(numBands - 1)),
-      r =>
-        aggregate(
-          zip_with(
-            slice(bits, r * bandBits + 1, lit(bandBits)),
-            powers,
-            (b, p) => b * p,
-          ),
-          lit(0L),
-          (acc, x) => acc + x,
-        ),
-    )
+    // SRP projections on the CODEGEN path: posexplode the vector, then
+    // numBands·bandBits conditional ±x sums — the same explode+agg trick
+    // as [[graft.operators.Dedup.simhashSignatures]] ([[srpBits]]'s
+    // nested array lambdas are CodegenFallback; measured ~3x slower on
+    // this operator). Identical semantics: bit i = [round(Σ_d ±vec[d],
+    // 6) > 0] with the same hash.pair(i, d) hyperplane signs and the
+    // same rounded sign test. Docs with NULL/empty vectors drop out of
+    // the explode — they could never pass the cosine verify anyway
+    // (cosine with a zero-norm vector is NaN).
+    val nb = numBands * bandBits
+    val dotCols = (0 until nb).map(i =>
+      sum(
+        when(hash.pair(lit(i), col("d")).bitwiseAND(lit(1L)) === 1L,
+          col("x")).otherwise(-col("x"))
+      ).as(s"dot$i"))
+    val dots = c
+      .select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
+      .groupBy("id")
+      .agg(dotCols.head, dotCols.tail: _*)
+    val bandKeyCols = (0 until numBands).map { r =>
+      (0 until bandBits)
+        .map(j =>
+          when(round(col(s"dot${r * bandBits + j}"), 6) > 0,
+            lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
     // one (band, bucket, rn) row per (vector, band); materialized ONCE —
-    // the SRP bit computation is the expensive part and feeds both sides
+    // the SRP computation is the expensive part and feeds both sides
     // of the candidate self-join plus the overflow branch
     val banded = graft.Superstep.cut(
-      c.select(col("id"), posexplode(bandKeys).as(Seq("band", "bucket")))
+      dots
+        .select(col("id"),
+          posexplode(array(bandKeyCols: _*)).as(Seq("band", "bucket")))
         .select(
           col("id"),
           col("band"),
