@@ -153,6 +153,44 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("duplicate-span mining: no window over the corpus-wide fingerprint") {
+    val docs = (0L until 50L).map(i => (i, s"a b c d e f g h i$i"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Dedup
+      .duplicateSpans(docs, "doc_id", "text", k = 4)
+      .queryExecution.executedPlan.toString
+    // a corpus-hot gram must collapse in the map-side partial count and
+    // come back as an ids-only LEFT SEMI join; a Window over fp would
+    // buffer the hottest gram's every occurrence in one task. The one
+    // legitimate Window is the per-DOC islands pass.
+    assert("Window".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("bucketed as-of: every heavy window partitions by (key, bucket)") {
+    import graft.operators.Relational
+    val right = Seq((1L, 10L, 100L)).toDF("rk", "rt", "rid")
+    val left = Seq((1L, 5L)).toDF("lk", "lt")
+    val plan = Relational
+      .asofJoinBucketed(left, right, "lk", "lt", "rk", "rt",
+        ts => floor(ts / 10))
+      .queryExecution.executedPlan.toString
+    // the hot-key guarantee IS the (key, bucket) window partitioning: a
+    // refactor back to partitionBy(key) would serialize a viral key's
+    // whole history into one task again. The carry window partitions by
+    // key alone but ranges over BUCKETS (one row per (key, bucket)).
+    val rowWindows =
+      "windowspecdefinition\\(__k#\\S+, __b#\\S+, __t#".r
+        .findAllIn(plan).length
+    assert(rowWindows >= 1,
+      s"no (key, bucket)-partitioned row window found:\n$plan")
+    val keyOnlyRowWindows =
+      "windowspecdefinition\\(__k#\\S+, __t#".r.findAllIn(plan).length
+    assert(keyOnlyRowWindows == 0,
+      s"found a raw-key row window (hot-key hazard):\n$plan")
+  }
+
   test("orderBy+limit fuses to TakeOrderedAndProject (no full sort)") {
     val df = spark.range(1000).toDF("v")
       .orderBy(col("v").desc).limit(5)
