@@ -32,6 +32,43 @@ object Relational {
     * Output: every left column, then every right column (null when no
     * match). Column names must not collide across sides.
     */
+  /** Shared tagging core for both as-of variants: (rightTagged,
+    * leftTagged) with columns (__k, __t, [__b], __side, __r, __l) —
+    * right rows carry __side 0 so they sort BEFORE left rows at equal
+    * ts (<= semantics).
+    */
+  private def tagSides(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      rightKey: String,
+      rightTs: String,
+      bucket: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
+  ): (DataFrame, DataFrame) = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column collision across sides: $overlap")
+    def nullStruct(of: DataFrame) =
+      lit(null).cast(org.apache.spark.sql.types.StructType(of.schema.fields))
+    def side(df: DataFrame, key: String, ts: String, isLeft: Boolean,
+        other: DataFrame) =
+      df.select(
+        Seq(col(key).as("__k"), col(ts).as("__t")) ++
+          bucket.map(b => b(col(ts)).as("__b")).toSeq ++
+          Seq(
+            lit(if (isLeft) 1 else 0).as("__side"),
+            (if (isLeft) nullStruct(other)
+             else struct(df.columns.map(col): _*)).as("__r"),
+            (if (isLeft) struct(df.columns.map(col): _*)
+             else nullStruct(other)).as("__l"),
+          ): _*
+      )
+    (
+      side(right, rightKey, rightTs, isLeft = false, left),
+      side(left, leftKey, leftTs, isLeft = true, right),
+    )
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -40,31 +77,8 @@ object Relational {
       rightKey: String,
       rightTs: String,
   ): DataFrame = {
-    val overlap = left.columns.toSet.intersect(right.columns.toSet)
-    require(overlap.isEmpty, s"column collision across sides: $overlap")
-    val rStruct = struct(right.columns.map(col): _*)
-    val rightTagged = right.select(
-      col(rightKey).as("__k"),
-      col(rightTs).as("__t"),
-      lit(0).as("__side"),
-      rStruct.as("__r"),
-      lit(null).cast(
-        org.apache.spark.sql.types.StructType(
-          left.schema.fields
-        )
-      ).as("__l"),
-    )
-    val leftTagged = left.select(
-      col(leftKey).as("__k"),
-      col(leftTs).as("__t"),
-      lit(1).as("__side"),
-      lit(null).cast(
-        org.apache.spark.sql.types.StructType(
-          right.schema.fields
-        )
-      ).as("__r"),
-      struct(left.columns.map(col): _*).as("__l"),
-    )
+    val (rightTagged, leftTagged) =
+      tagSides(left, right, leftKey, leftTs, rightKey, rightTs, None)
     val w = Window
       .partitionBy("__k")
       .orderBy(col("__t"), col("__side"))
@@ -115,27 +129,8 @@ object Relational {
       rightTs: String,
       bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
   ): DataFrame = {
-    val overlap = left.columns.toSet.intersect(right.columns.toSet)
-    require(overlap.isEmpty, s"column collision across sides: $overlap")
-    val rStruct = struct(right.columns.map(col): _*)
-    val rightTagged = right.select(
-      col(rightKey).as("__k"),
-      col(rightTs).as("__t"),
-      bucket(col(rightTs)).as("__b"),
-      lit(0).as("__side"),
-      rStruct.as("__r"),
-      lit(null).cast(
-        org.apache.spark.sql.types.StructType(left.schema.fields)).as("__l"),
-    )
-    val leftTagged = left.select(
-      col(leftKey).as("__k"),
-      col(leftTs).as("__t"),
-      bucket(col(leftTs)).as("__b"),
-      lit(1).as("__side"),
-      lit(null).cast(
-        org.apache.spark.sql.types.StructType(right.schema.fields)).as("__r"),
-      struct(left.columns.map(col): _*).as("__l"),
-    )
+    val (rightTagged, leftTagged) =
+      tagSides(left, right, leftKey, leftTs, rightKey, rightTs, Some(bucket))
     val w = Window
       .partitionBy("__k", "__b")
       .orderBy(col("__t"), col("__side"))
@@ -170,8 +165,13 @@ object Relational {
       last(col("__mx"), ignoreNulls = true).over(wB).as("__c"),
     )
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
-    val rightCols =
-      right.columns.map(c => coalesce(col(s"__m.$c"), col(s"__c.__r.$c")).as(c))
+    // coalesce the STRUCTS, not the fields: a within-bucket match whose
+    // payload field is legitimately NULL must not fall through to the
+    // carry-in row's value for that one field (chimera row mixing two
+    // right rows); __m is NULL exactly when no within-bucket right
+    // precedes the left row, which is the only case carry-in may fill
+    val best = coalesce(col("__m"), col("__c.__r"))
+    val rightCols = right.columns.map(c => best.getField(c).as(c))
     within
       .join(carry, Seq("__k", "__b"), "left_outer")
       .select(leftCols ++ rightCols: _*)

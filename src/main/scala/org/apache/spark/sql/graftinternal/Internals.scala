@@ -41,31 +41,37 @@ object Internals {
         s"no column $name in ${attrs.map(_.name)}"))
     val partitioning = HashPartitioning(Seq(attr(hashCol)), n)
     val ordering = sortCols.map(c => SortOrder(attr(c), Ascending))
-    val rdd = df.queryExecution.toRdd
+    val rdd0 = df.queryExecution.toRdd
     // cheap sanity guard: a caller whose upstream does NOT actually have
     // n partitions would silently produce wrong exchange-free joins; the
     // partition count is free to check (driver-side metadata only).
     // Exception: an EMPTY upstream (Catalyst's empty-relation propagation
-    // collapses it to 0/1 partitions) — no rows, no layout to violate;
-    // the isEmpty job only runs on the mismatch path and costs ~nothing
-    // there. Full per-row hash validation stays opt-in via the debug
-    // property (it forces an extra pass over the data).
-    require(rdd.getNumPartitions == n || rdd.isEmpty(),
-      s"assumeHashPartitioned($hashCol, $n): upstream has " +
-        s"${rdd.getNumPartitions} partitions — the declared layout is false")
+    // collapses it to 0/1 partitions) — no rows, no layout to violate,
+    // but the declared n-partition layout must still be PHYSICALLY true:
+    // a downstream exchange-free zip join would throw on unequal
+    // partition counts. Substitute an n-partition empty RDD. The isEmpty
+    // job only runs on the mismatch path and costs ~nothing there. Full
+    // per-row hash validation stays opt-in via the debug property (it
+    // forces an extra pass over the data).
+    val rdd =
+      if (rdd0.getNumPartitions == n) rdd0
+      else {
+        require(rdd0.isEmpty(),
+          s"assumeHashPartitioned($hashCol, $n): upstream has " +
+            s"${rdd0.getNumPartitions} partitions — the declared layout " +
+            "is false")
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], n)
+      }
     if (sys.props.get("graft.internals.verifyLayout").contains("true")) {
       val hashIdx = attrs.indexWhere(_.name == hashCol)
       val bad = rdd.mapPartitionsWithIndex { (pid, rows) =>
+        // allocation-free per row: the same murmur3(long, seed=42) + pmod
+        // that HashPartitioning's partitionIdExpression computes
         val mismatched = rows.exists { r =>
-          val k = r.getLong(hashIdx)
-          // seed 42 — the same default HashPartitioning's own
-          // partitionIdExpression uses
-          val exp = org.apache.spark.sql.catalyst.expressions.Pmod(
-            new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
-              org.apache.spark.sql.catalyst.expressions.Literal(k))),
-            org.apache.spark.sql.catalyst.expressions.Literal(n),
-          ).eval(null).asInstanceOf[Int]
-          exp != pid
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashLong(r.getLong(hashIdx), 42)
+          ((h % n) + n) % n != pid
         }
         if (mismatched) Iterator.single(pid) else Iterator.empty
       }.take(1)

@@ -376,8 +376,8 @@ class PipelineOpsSpec extends GraftSuite {
         .groupBy("cent").count().collect().map(_.getLong(1))
       sizes.max.toDouble / sizes.sum
     }
-    assert(maxShare(1) <= maxShare(0) + 1e-9,
-      s"refined max list share ${maxShare(1)} > unrefined ${maxShare(0)}")
+    val (s1, s0) = (maxShare(1), maxShare(0))
+    assert(s1 <= s0 + 1e-9, s"refined max list share $s1 > unrefined $s0")
   }
 
   test("IVF with a single bucket degenerates to exact brute force") {
@@ -567,6 +567,23 @@ class PipelineOpsSpec extends GraftSuite {
     assert(bucketed == plain,
       s"only-plain=${plain.diff(bucketed).take(3)} " +
         s"only-bucketed=${bucketed.diff(plain).take(3)}")
+  }
+
+  test("bucketed as-of: NULL right payload never chimeras with carry-in") {
+    import graft.operators.Relational
+    // the within-bucket match (t=15) has a NULL payload; the carry-in
+    // bucket holds an older row (t=5, payload 7). A field-wise coalesce
+    // would emit t=15's keys with t=5's payload — the struct-level
+    // coalesce must return the t=15 row with its NULL intact.
+    val right = Seq((1L, 5L, Option(7L)), (1L, 15L, Option.empty[Long]))
+      .toDF("rk", "rt", "rid")
+    val left = Seq((1L, 18L)).toDF("lk", "lt")
+    val got = Relational
+      .asofJoinBucketed(left, right, "lk", "lt", "rk", "rt",
+        ts => floor(ts / 10))
+      .collect().head
+    assert(got.getLong(3) == 15L, s"wrong match: $got")
+    assert(got.isNullAt(4), s"chimera payload: $got")
   }
 
   test("latestPerKeyTs keeps exactly the max-tie row per (key, ts)") {
