@@ -16,7 +16,10 @@ REPO="$PWD"
 N="${1:-1}"
 START="${2:-1}"
 WORK=/tmp/graft-campaign
-if [[ ! -d "$WORK/src" ]]; then
+# rebuild whenever HEAD moved: a stale work dir would silently measure an
+# old binary while recording its JSONs as evidence for current HEAD
+if [[ ! -d "$WORK/src" || "$(cat "$WORK/COMMIT" 2>/dev/null)" != "$(git rev-parse HEAD)" ]]; then
+  rm -rf "$WORK"
   mkdir -p "$WORK"
   git archive HEAD | tar -x -C "$WORK"
   git rev-parse HEAD > "$WORK/COMMIT"
@@ -31,17 +34,18 @@ for i in $(seq "$START" $((START + N - 1))); do
     | tail -4
   cp "$OUT/cores2.json" "$REPO/BENCH/scaling/r4_rep${i}_cores2.json"
   cp "$OUT/cores8.json" "$REPO/BENCH/scaling/r4_rep${i}_cores8.json"
-  python3 - "$REPO" "$i" <<'EOF'
+  python3 - "$REPO" "$i" "$(cat "$WORK/COMMIT")" <<'EOF'
 import json, sys
-repo, i = sys.argv[1], sys.argv[2]
+repo, i, commit = sys.argv[1], sys.argv[2], sys.argv[3][:9]
 a = json.load(open(f"{repo}/BENCH/scaling/r4_rep{i}_cores2.json"))
 b = json.load(open(f"{repo}/BENCH/scaling/r4_rep{i}_cores8.json"))
 eff = b["edges_per_sec"] / (4 * a["edges_per_sec"])
 g2, g8 = 150 <= a["cpu_sec"] <= 200, 165 <= b["cpu_sec"] <= 195
-gate = "ACCEPT" if (g2 and g8) else \
-    f"REJECT ({'2-core' if not g2 else '8-core'} leg out of band)"
+bad = [n for n, ok in (("2-core", g2), ("8-core", g8)) if not ok]
+gate = "ACCEPT" if not bad else f"REJECT ({'+'.join(bad)} leg out of band)"
 line = (f'| r4_rep{i} | {a["edges_per_sec"]:.3e} | {b["edges_per_sec"]:.3e} '
-        f'| {a["cpu_sec"]:.0f} | {b["cpu_sec"]:.0f} | {eff:.3f} | {gate} |')
+        f'| {a["cpu_sec"]:.0f} | {b["cpu_sec"]:.0f} | {eff:.3f} | {gate} '
+        f'| {commit} |')
 print(line)
 with open(f"{repo}/BENCH/scaling/r4_results.md", "a") as f:
     f.write(line + "\n")
