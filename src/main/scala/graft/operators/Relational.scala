@@ -22,8 +22,11 @@ object Relational {
     * equal ts (<= semantics); `last(right payload, ignoreNulls)` over the
     * unbounded-preceding frame carries the newest right row into each
     * left row. ONE shuffle total (the window partitioning), linear state
-    * per key — the scalable shape for this operator; hot keys get the
-    * same salting story as every other key in the engine.
+    * per key — the scalable shape for this operator. LIMIT: the window
+    * partitions by the RAW key, so one hot key's entire history sorts in
+    * a single task; when that matters, use [[asofJoinBucketed]] (same
+    * semantics, spec-proven equal, per-task state bounded by a coarse
+    * time-bucket width at the cost of one extra carry-in pass).
     *
     * Determinism requires (rightKey, rightTs) UNIQUE on the right side
     * (otherwise "the" matching row is ambiguous); pre-dedupe with
