@@ -261,6 +261,18 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairsWithin(t(s, d, "documents"), "doc_id", "text",
         "source")),
+    // deterministic stratified sample: 20 docs per source by smallest
+    // (hash(id), id) — exact per-stratum quota, reproducible, no RNG
+    "q_sample_stratified" -> ((s, d) =>
+      operators.Corpus.stratifiedSample(
+        t(s, d, "documents").select("doc_id", "source"),
+        "source", "doc_id", n = 20, hash = sketchHash)),
+    // per-doc top-3 TF-IDF terms (tf * ln(N/df), rounded, term tiebreak)
+    "q_tfidf_top" -> ((s, d) =>
+      operators.Corpus.tfidfTopTerms(
+        t(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          col("score"), col("rk"))),
     // substring-level dedup (ExactSubstr half of Lee et al. 2022):
     // maximal runs of 8-token windows whose fingerprint repeats anywhere
     // in the corpus → (doc_id, start token offset, token length)
@@ -635,6 +647,31 @@ object SparkEntry {
           |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
           |  AND ((a.rn <= 4096 AND b.rn <= 4096)
           |       OR (a.rn = 1 AND b.rn > 4096))""".stripMargin,
+      // mirrors Corpus.stratifiedSample(n=20): smallest (portable-hash,
+      // id) per source — the hash ties the sample to the same rows in
+      // both engines
+      "q_sample_stratified" ->
+        s"""SELECT doc_id, source FROM (
+           |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+           |    ORDER BY ${ph("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+           |  FROM documents) WHERE rk <= 20""".stripMargin,
+      // mirrors Corpus.tfidfTopTerms(k=3): tf and df are exact integer
+      // aggregates; score = round(tf * ln(N/df), 6) on both engines
+      "q_tfidf_top" ->
+        """WITH tk AS (SELECT doc_id,
+          |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          |FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+          |dfreq AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY 1),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |scored AS (SELECT doc_id, term, tf,
+          |    round(tf * ln(nn.n / df_cnt), 6) AS score
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+          |SELECT doc_id, term, tf, score, rk FROM (
+          |  SELECT doc_id, term, tf, score,
+          |    CAST(row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY score DESC, term) AS BIGINT) AS rk
+          |  FROM scored) WHERE rk <= 3""".stripMargin,
       // mirrors Dedup.duplicateSpans(k=8) exactly: every 8-token window's
       // portable-hash fingerprint, fingerprints occurring > 1x anywhere
       // mark their positions duplicated, consecutive positions merge into

@@ -503,6 +503,48 @@ class PipelineOpsSpec extends GraftSuite {
     assert(capped.toSeq == (core ++ tail).sorted, s"got ${capped.toSeq}")
   }
 
+  test("stratified sample: exact quota, deterministic, subset of input") {
+    import graft.operators.Corpus
+    val df = (0L until 30L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def run() = Corpus.stratifiedSample(df, "source", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = run()
+    assert(got.count(_._2 == "a") == 5 && got.count(_._2 == "b") == 5)
+    assert(run() == got, "sample must be run-to-run deterministic")
+    val all = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.subsetOf(all))
+    // a stratum smaller than n returns all its rows, no padding
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "source")
+    assert(Corpus.stratifiedSample(tiny, "source", "doc_id", 5).count() == 2)
+  }
+
+  test("tf-idf top terms match hand-computed scores and ranks") {
+    import graft.operators.Corpus
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian"),
+    ).toDF("doc_id", "text")
+    val got = Corpus.tfidfTopTerms(df, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def s(tf: Long, df_ : Long) =
+      BigDecimal(tf * math.log(3.0 / df_))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert(got((1L, 1L)) == (("apple", 2L, s(2, 1))))
+    assert(got((1L, 2L)) == (("banana", 1L, s(1, 2))))
+    // doc 2: cherry (df=1) beats banana (df=2)
+    assert(got((2L, 1L)) == (("cherry", 1L, s(1, 1))))
+    assert(got((2L, 2L)) == (("banana", 1L, s(1, 2))))
+    // doc 3: only durian
+    assert(got((3L, 1L)) == (("durian", 3L, s(3, 1))))
+    assert(got.size == 5)
+  }
+
   test("multimodal plumbing: deterministic fake decode, exact features") {
     val media = Multimodal.fromText(
       Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text"),

@@ -191,6 +191,19 @@ class PlanShapeSpec extends GraftSuite {
       s"found a raw-key row window (hot-key hazard):\n$plan")
   }
 
+  test("stratified sample gets the rank-limit pushdown (WindowGroupLimit)") {
+    val df = spark.range(5000)
+      .select(col("id").as("doc_id"), (col("id") % 7).as("source"))
+    val plan = graft.operators.Corpus
+      .stratifiedSample(df, "source", "doc_id", n = 20)
+      .queryExecution.executedPlan.toString
+    // row_number() <= n must trigger Spark's WindowGroupLimit: each map
+    // task pre-selects its own top-n per stratum BEFORE the shuffle, so
+    // a hot stratum ships O(tasks*n) rows, never its full membership
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing:\n$plan")
+  }
+
   test("orderBy+limit fuses to TakeOrderedAndProject (no full sort)") {
     val df = spark.range(1000).toDF("v")
       .orderBy(col("v").desc).limit(5)
