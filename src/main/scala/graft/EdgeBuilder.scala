@@ -45,11 +45,11 @@ object EdgeBuilder {
       .as[VertexKey]
   }
 
-  /** Hash ids are only usable if collision-free; assert it (SURVEY §2.3 E2).
-    * Falls back would be a one-off global-sort dictionary; with 64-bit
-    * xxhash64 the collision probability at 1e9 keys is ~2.7e-2 via birthday
-    * bound at 1e12 it would need the sorted dictionary — the assert is what
-    * tells us.
+  /** Hash ids are only usable if collision-free; assert it (SURVEY §2.3
+    * E2). By the birthday bound, 64-bit xxhash64 collides with
+    * probability ~2.7e-2 at 1e9 keys but near-certainly at 1e12 — at
+    * that scale the fallback is the one-off global-sort dictionary, and
+    * this assert is what tells us to switch.
     */
   def assertNoCollisions(v: Dataset[VertexKey]): Unit = {
     val r = v.agg(count(lit(1)).as("n"), countDistinct(col("vid")).as("d"))
