@@ -280,6 +280,70 @@ object SparkEntry {
       Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
         k = 8, hash = sketchHash)
         .select(col("id").as("doc_id"), col("start"), col("len"))),
+    // Gopher-family quality signals (the exact, cross-engine subset):
+    // word count, mean word length, distinct-word fraction, top-bigram
+    // share; keep flag applies thresholds to the ROUNDED metrics.
+    // Thresholds straddle the corpus quantiles so both branches occur.
+    "q_quality" -> ((s, d) =>
+      operators.Corpus.qualitySignals(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"),
+          col("mean_word_len"), col("distinct_word_frac"),
+          col("top_bigram_frac"), col("keep"))),
+    // PII detection + redaction: the corpus has no organic PII, so the
+    // query plants deterministic emails/IPs (pure column expressions,
+    // mirrored verbatim in the oracle SQL) and checks match counts plus
+    // the sha256 of the redacted text — every byte of the redaction
+    // output is pinned without shipping the text itself
+    "q_pii_redact" -> { (s, d) =>
+      val aug = t(s, d, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" from 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".25 logged"))).otherwise(lit("")),
+        ).as("text2"),
+      )
+      aug.select(
+        col("doc_id"),
+        Text.piiCount(col("text2"), Text.EmailPattern).cast("long")
+          .as("email_cnt"),
+        Text.piiCount(col("text2"), Text.Ipv4Pattern).cast("long")
+          .as("ip_cnt"),
+        sha2(Text.redactPii(col("text2")), 256).as("red_sha"),
+      )
+    },
+    // cross-doc boilerplate line removal (RefinedWeb-style): the corpus
+    // is single-line, so the query plants line structure — a universal
+    // license footer plus a 1-in-3 generated-by footer; the operator
+    // must drop exactly those lines and keep every original line
+    "q_line_dedup" -> { (s, d) =>
+      val aug = t(s, d, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit("\nLicense: synthetic corpus boilerplate v1"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\nFooter: generated by graft")).otherwise(lit("")),
+        ).as("text2"),
+      )
+      Dedup.dropBoilerplateLines(aug, "doc_id", "text2", minDocs = 2,
+        hash = sketchHash)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_dropped"),
+          col("clean_sha"))
+    },
+    // deterministic 90/5/5 split: bucket = hash(doc_id) mod 100 — split
+    // membership is a pure function of the id (stable under corpus
+    // growth, no RNG state)
+    "q_split_assign" -> ((s, d) =>
+      operators.Corpus.splitAssign(
+        t(s, d, "documents").select("doc_id"), "doc_id",
+        hash = sketchHash)),
     "q_ann_cosine" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(
@@ -382,6 +446,14 @@ object SparkEntry {
         hash = sketchHash,
       )
     },
+    // embedding-level dup clusters: the q_cosine_dups pair pipeline →
+    // the shared WCC clustering core → min-id survivor (the semantic-
+    // dedup dual of q_dedup_clusters; same output contract)
+    "q_cosine_clusters" -> ((s, d) =>
+      Similarity.cosineDupClusters(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bandBits = 4, numBands = 4,
+        hash = sketchHash)),
     // one deterministic Lloyd refinement on top of the hash-sampled
     // centroids (list-balance hedge): integer-quantized elementwise means,
     // so the refined centroids are bit-identical cross-engine
@@ -923,6 +995,127 @@ object SparkEntry {
            |FROM cand JOIN e ea ON ea.vec_id = cand.id_a
            |JOIN e eb ON eb.vec_id = cand.id_b
            |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4""".stripMargin,
+      // the q_cosine_dups pair pipeline, then the same recursive-CTE
+      // components + min-id survivor as q_dedup_clusters — mirrors
+      // Similarity.cosineDupClusters (shared clustersFromPairs core)
+      "q_cosine_clusters" ->
+        s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |ed AS (SELECT vec_id, v,
+           |  unnest(generate_series(1, len(v))) AS d FROM e),
+           |comp AS (SELECT vec_id, r.i AS i,
+           |    sum(CASE WHEN (${ph("r.i || ',' || (d - 1)")}) & 1 = 1
+           |      THEN v[d] ELSE -v[d] END) AS dot
+           |  FROM ed CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+           |bits AS (SELECT vec_id, i,
+           |  CASE WHEN round(dot, 6) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+           |FROM comp),
+           |bk AS (SELECT vec_id, i // 4 AS band,
+           |    CAST(sum(b * (1::BIGINT << CAST(i % 4 AS INT))) AS BIGINT) AS bucket
+           |  FROM bits GROUP BY 1, 2),
+           |rn AS (SELECT vec_id, band, bucket,
+           |    row_number() OVER (PARTITION BY band, bucket
+           |      ORDER BY vec_id) AS rn FROM bk),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM rn a JOIN rn b ON a.band = b.band AND a.bucket = b.bucket
+           |    AND a.vec_id < b.vec_id
+           |    AND ((a.rn <= 4096 AND b.rn <= 4096)
+           |         OR (a.rn = 1 AND b.rn > 4096))),
+           |prs AS MATERIALIZED (SELECT id_a, id_b
+           |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+           |  JOIN e eb ON eb.vec_id = cand.id_b
+           |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM prs
+           |        UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+           |reach AS (
+           |  SELECT vec_id AS vid, vec_id AS comp FROM embeddings
+           |  UNION
+           |  SELECT s.dst AS vid, r.comp FROM reach r JOIN sym s ON r.vid = s.src
+           |),
+           |comps AS (SELECT vid, min(comp) AS comp FROM reach GROUP BY 1)
+           |SELECT CAST(vid AS BIGINT) AS id, CAST(comp AS BIGINT) AS cluster,
+           |  vid = comp AS is_survivor
+           |FROM comps""".stripMargin,
+      // mirrors Corpus.qualitySignals' defaults exactly: metrics rounded
+      // to 6 decimals, keep applied to the ROUNDED values (inclusive
+      // bounds both engines)
+      "q_quality" ->
+        """WITH tk AS (SELECT doc_id,
+          |  string_split_regex(trim(lower(text)),'\s+') AS t FROM documents),
+          |m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+          |  round(CAST(length(array_to_string(t, '')) AS DOUBLE)
+          |    / len(t), 6) AS mean_word_len,
+          |  round(CAST(len(list_distinct(t)) AS DOUBLE)
+          |    / len(t), 6) AS distinct_word_frac FROM tk),
+          |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2
+          |    THEN [array_to_string(t, ' ')]
+          |    ELSE list_transform(generate_series(1, len(t) - 1),
+          |           i -> array_to_string(t[i:i+1], ' ')) END) AS g FROM tk),
+          |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+          |tb AS (SELECT doc_id,
+          |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+          |FROM bgc GROUP BY 1)
+          |SELECT m.doc_id, n_words, mean_word_len, distinct_word_frac,
+          |  top_bigram_frac,
+          |  (n_words >= 30 AND mean_word_len >= 4.3 AND mean_word_len <= 4.7
+          |   AND distinct_word_frac >= 0.4 AND top_bigram_frac <= 0.05) AS keep
+          |FROM m JOIN tb ON m.doc_id = tb.doc_id""".stripMargin,
+      // mirrors q_pii_redact's planted PII and Text.redactPii's
+      // email-then-IP order; patterns are the RE2/Java common subset
+      "q_pii_redact" ->
+        """WITH aug AS (SELECT doc_id, text
+          |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+          |       || CAST(doc_id AS VARCHAR) || '@example.com now'
+          |     ELSE '' END
+          |  || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.'
+          |       || CAST(doc_id % 256 AS VARCHAR) || '.25 logged'
+          |     ELSE '' END AS text2
+          |FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text2,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          |    AS email_cnt,
+          |  CAST(len(regexp_extract_all(text2,
+          |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+          |    AS ip_cnt,
+          |  sha256(regexp_replace(regexp_replace(text2,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+          |    AS red_sha
+          |FROM aug""".stripMargin,
+      // mirrors q_line_dedup's planted line structure and
+      // Dedup.dropBoilerplateLines(minDocs=2): boilerplate = line hash in
+      // >= 2 distinct docs; reassembly = surviving lines in order
+      "q_line_dedup" ->
+        s"""WITH aug AS (SELECT doc_id, text || chr(10)
+           |    || 'License: synthetic corpus boilerplate v1'
+           |    || CASE WHEN doc_id % 3 = 0
+           |         THEN chr(10) || 'Footer: generated by graft'
+           |       ELSE '' END AS text2
+           |  FROM documents),
+           |sp AS (SELECT doc_id, string_split(text2, chr(10)) AS ln FROM aug),
+           |l AS (SELECT doc_id, i - 1 AS pos, ln[i] AS line FROM
+           |  (SELECT doc_id, ln,
+           |     unnest(generate_series(1, len(ln))) AS i FROM sp)),
+           |lf AS (SELECT doc_id, pos, line, ${ph("line")} AS fp FROM l),
+           |b AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM lf)
+           |  GROUP BY fp HAVING count(*) >= 2),
+           |m AS (SELECT lf.*, (b.fp IS NOT NULL) AS boiler
+           |  FROM lf LEFT JOIN b ON lf.fp = b.fp)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           |  CAST(count(*) FILTER (boiler) AS BIGINT) AS n_dropped,
+           |  sha256(coalesce(string_agg(line, chr(10) ORDER BY pos)
+           |    FILTER (NOT boiler), '')) AS clean_sha
+           |FROM m GROUP BY doc_id""".stripMargin,
+      // mirrors Corpus.splitAssign's 90/5/5 defaults over the portable
+      // hash of the id's canonical string form (non-negative, so % = pmod)
+      "q_split_assign" ->
+        s"""SELECT doc_id,
+           |  CAST(${ph("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket,
+           |  CASE WHEN ${ph("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+           |       WHEN ${ph("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin,
       // q_ivf_ann + ONE Lloyd refinement: assignment to the hash-sampled
       // centroids, then per-(centroid, dim) integer-quantized means
       // (round(x*1e6) BIGINT sums — order-free-exact, one float division

@@ -189,4 +189,29 @@ object Text {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** PII patterns, written to the common subset of Java regex and RE2
+    * (DuckDB): explicit ASCII classes, no backreferences, no lookaround —
+    * both engines find the same matches. The email host must end in an
+    * alphabetic TLD, so `a@1.2.3.4` is NOT an email (its host is counted
+    * by the IPv4 rule instead).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Count of non-overlapping matches of `pattern` (a regex literal). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails, then IPv4s. Email first: once addresses are gone,
+    * the IPv4 pass cannot fire inside what used to be an email's host,
+    * and the `<EMAIL>` placeholder contains no digits to re-match.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern,
+      "<IP>",
+    )
 }

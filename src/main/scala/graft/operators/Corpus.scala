@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Hash64, Text}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,5 +78,108 @@ object Corpus {
     scored
       .select(col("*"), row_number().over(w).cast("long").as("rk"))
       .where(col("rk") <= k)
+  }
+
+  /** Per-document quality signals in the Gopher / C4 rule family
+    * (Rae et al. 2021 §A1.1), restricted to metrics that are exact and
+    * cross-engine: word count, mean word length, distinct-word fraction
+    * (low = heavy repetition), and top-bigram fraction (the share of
+    * bigram occurrences taken by the single most frequent bigram — high =
+    * templated text). `keep` applies the thresholds to the ROUNDED
+    * metrics, so the flag is reproducible anywhere the metrics are.
+    *
+    * Scale shape: everything but the bigram aggregate is a per-row
+    * codegen expression (the token-length sum rides
+    * `length(concat_ws("", toks))` — no interpreted array lambda); the
+    * bigram top-share is a two-level (doc, bigram) count whose partial
+    * aggregate collapses each doc's repeats map-side, then a per-doc
+    * max/sum — grouped on doc id, so no corpus-hot key exists.
+    */
+  def qualitySignals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 30,
+      meanWordLen: (Double, Double) = (4.3, 4.7),
+      minDistinctFrac: Double = 0.4,
+      maxTopBigramFrac: Double = 0.05,
+  ): DataFrame = {
+    val toks = Text.tokens(lower(col(textCol)))
+    val base = docs
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .select(
+        col("id"),
+        size(col("toks")).cast("long").as("n_words"),
+        round(
+          length(concat_ws("", col("toks"))).cast("double")
+            / size(col("toks")),
+          6,
+        ).as("mean_word_len"),
+        round(
+          size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")),
+          6,
+        ).as("distinct_word_frac"),
+      )
+    val topBigram = docs
+      .select(
+        col(idCol).as("id"),
+        explode(Text.shingles(col(textCol), 2)).as("g"),
+      )
+      .groupBy("id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(
+        round(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("top_bigram_frac")
+      )
+    base
+      .join(topBigram, Seq("id"))
+      .select(
+        col("*"),
+        (col("n_words") >= minWords &&
+          col("mean_word_len") >= meanWordLen._1 &&
+          col("mean_word_len") <= meanWordLen._2 &&
+          col("distinct_word_frac") >= minDistinctFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac).as("keep"),
+      )
+  }
+
+  /** Deterministic train/val/test assignment: bucket = hash(id) mod
+    * Σweights, split = the weight band the bucket falls in. Hash-based,
+    * so membership is a pure function of the id — stable across runs,
+    * partitionings, engines, and corpus growth (a new doc never moves an
+    * old doc's split), which is the property an RNG-based sampler can't
+    * give a 100 TB pipeline.
+    */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Int)] =
+        Seq("train" -> 90, "val" -> 5, "test" -> 5),
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    // hash the canonical string form so both hash modes (and the DuckDB
+    // oracle) agree on the operand; pmod keeps xxhash64's negatives in
+    // range (the portable hash is already non-negative)
+    val bucket = pmod(hash.one(col(idCol).cast("string")), lit(total.toLong))
+    val label = weights
+      .scanLeft(("", 0)) { case ((_, acc), (name, w)) => (name, acc + w) }
+      .tail
+      .foldLeft(Option.empty[Column]) { case (acc, (name, hi)) =>
+        Some(acc match {
+          case None    => when(bucket < hi, lit(name))
+          case Some(c) => c.when(bucket < hi, lit(name))
+        })
+      }
+      .get
+    df.select(
+      col(idCol),
+      bucket.cast("long").as("bucket"),
+      label.as("split"),
+    )
   }
 }

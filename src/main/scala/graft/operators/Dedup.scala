@@ -381,21 +381,108 @@ object Dedup {
     val pairs =
       minhashPairs(docs, idCol, textCol, shingleLen, numHashes, threshold,
         hash)
+    clustersFromPairs(
+      docs.select(col(idCol).cast("long").as("id")),
+      pairs,
+      store,
+    )
+  }
+
+  /** Shared clustering core behind [[nearDupClusters]] and
+    * [[graft.operators.Similarity.cosineDupClusters]]: verified duplicate
+    * pairs (any mining strategy) → symmetric dup graph → the engine's own
+    * WCC → cluster id = min id in the component, survivor = the id that
+    * IS the cluster id. One row per id in `universe` (singletons are
+    * their own surviving cluster).
+    *
+    * `universe` must have a single Long-valued `id` column; `pairs` needs
+    * `id_a`/`id_b`. The WCC phase keeps its O(log n) round bound and, via
+    * `store`, its resumability — at 100 TB the component rounds are the
+    * long pole, and a crashed dedup job should resume there, not re-mine
+    * candidate pairs from scratch.
+    */
+  def clustersFromPairs(
+      universe: DataFrame,
+      pairs: DataFrame,
+      store: Option[graft.SnapshotStore] = None,
+  ): DataFrame = {
+    import universe.sparkSession.implicits._
     val dupEdges = pairs
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"), lit(1.0).as("weight"))
       .as[graft.Edge]
-    // the clustering phase inherits WCC's resumability: at 100 TB the
-    // component rounds are the long pole, and a crashed dedup job should
-    // resume there, not re-mine candidate pairs from scratch
     val comps = graft.algos.Wcc.run(dupEdges, store = store).comps.toDF()
-    docs
-      .select(col(idCol).cast("long").as("id"))
+    universe
+      .select(col("id").cast("long").as("id"))
       .join(comps.withColumnRenamed("vid", "id"), Seq("id"), "left_outer")
       .select(
         col("id"),
         coalesce(col("comp"), col("id")).as("cluster"),
         (coalesce(col("comp"), col("id")) === col("id")).as("is_survivor"),
+      )
+  }
+
+  /** Cross-document boilerplate LINE removal (the line-dedup pass of
+    * C4 / RefinedWeb-style cleaning, Penedo et al. 2023): a line whose
+    * exact content appears in at least `minDocs` DISTINCT documents is
+    * boilerplate (license footers, headers, navigation chrome); drop
+    * every occurrence and reassemble each doc from its surviving lines
+    * in order. Complements [[duplicateSpans]] (token runs, any position)
+    * with the line-structured variant production cleaners actually run.
+    *
+    * Returns (id, n_lines, n_dropped, clean_sha) — clean_sha is sha256
+    * of the newline-rejoined survivor text, pinning every byte of the
+    * cleaned output without shipping megabyte text columns.
+    *
+    * Scale shape: lines explode once and are materialized once (both the
+    * boilerplate aggregate and the reassembly read them); the boilerplate
+    * decision is a two-level aggregate on the line hash — (fp, id)
+    * distinct partials collapse a corpus-hot line map-side, then a
+    * doc-count filter — and the reassembly groups by doc id, so per-task
+    * state is bounded by DOC length, never corpus size.
+    */
+  def dropBoilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    require(minDocs >= 2, "minDocs >= 2 (1 would drop every line)")
+    val lines = Superstep.cut(
+      docs.select(
+        col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")),
+      ).select(col("id"), col("pos"), col("line"),
+        hash.one(col("line")).as("fp"))
+    )
+    val boiler = lines
+      .select("id", "fp")
+      .distinct()
+      .groupBy("fp")
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("fp"), lit(true).as("boiler"))
+    lines
+      .join(boiler, Seq("fp"), "left_outer")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        sha2(
+          concat_ws(
+            "\n",
+            transform(
+              // collect_list skips the nulls the `when` leaves for
+              // dropped lines; struct sort orders by pos (first field)
+              array_sort(collect_list(
+                when(col("boiler").isNull,
+                  struct(col("pos"), col("line"))))),
+              s => s.getField("line"),
+            ),
+          ),
+          256,
+        ).as("clean_sha"),
       )
   }
 }

@@ -519,4 +519,35 @@ object Similarity {
       )
       .where(col("sim") >= threshold)
   }
+
+  /** Embedding-level near-duplicate CLUSTERS with survivor selection —
+    * the semantic-dedup production op (SemDeDup, Abbas et al. 2023,
+    * reduced to its deterministic core): [[cosineNearDupCandidates]]
+    * mines verified cosine-near pairs, then the shared
+    * [[graft.operators.Dedup.clustersFromPairs]] core runs the engine's
+    * WCC over the dup graph and keeps the min-id doc per component.
+    * Same output contract as text-level [[graft.operators.Dedup.nearDupClusters]]
+    * — one row per input vector: (id, cluster, is_survivor) — so a
+    * pipeline can swap the mining strategy without touching the
+    * downstream keep/drop logic.
+    */
+  def cosineDupClusters(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bandBits: Int = 8,
+      numBands: Int = 4,
+      maxBucket: Int = 4096,
+      hash: Hash64 = Hash64.Xx,
+      store: Option[graft.SnapshotStore] = None,
+  ): DataFrame = {
+    val pairs = cosineNearDupCandidates(
+      corpus, idCol, vecCol, threshold, bandBits, numBands, maxBucket, hash)
+    graft.operators.Dedup.clustersFromPairs(
+      corpus.select(col(idCol).cast("long").as("id")),
+      pairs.select("id_a", "id_b"),
+      store,
+    )
+  }
 }

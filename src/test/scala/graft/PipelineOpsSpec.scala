@@ -644,4 +644,94 @@ class PipelineOpsSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(e == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
   }
+
+  test("quality signals match hand-computed metrics and keep flag") {
+    import graft.operators.Corpus
+    val df = Seq(
+      (1L, "aa bb aa bb aa"), // 5 words, mwl 2, dwf 0.4, top bigram 2/4
+      (2L, "one two three four five six"), // all distinct, tb 1/5
+    ).toDF("doc_id", "text")
+    val got = Corpus.qualitySignals(df, "doc_id", "text",
+      minWords = 5, meanWordLen = (2.0, 4.0), minDistinctFrac = 0.5,
+      maxTopBigramFrac = 0.3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))
+      .toMap
+    assert(got(1L) == ((5L, 2.0, 0.4, 0.5, false))) // dwf 0.4 < 0.5
+    assert(got(2L) == ((6L, 3.666667, 1.0, 0.2, true)))
+  }
+
+  test("pii: counts and redaction handle email-vs-ip precedence") {
+    val df = Seq(
+      (1L, "mail a.user@example.com and host 10.1.2.3 end"),
+      (2L, "odd a@1.2.3.4 case"), // no alpha TLD: IP, not email
+      (3L, "clean text"),
+    ).toDF("doc_id", "text")
+    val got = df.select(
+      col("doc_id"),
+      Text.piiCount(col("text"), Text.EmailPattern).as("e"),
+      Text.piiCount(col("text"), Text.Ipv4Pattern).as("i"),
+      Text.redactPii(col("text")).as("red"),
+    ).collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((1, 1, "mail <EMAIL> and host <IP> end")))
+    assert(got(2L) == ((0, 1, "odd a@<IP> case")))
+    assert(got(3L) == ((0, 0, "clean text")))
+  }
+
+  test("boilerplate line removal drops shared lines, keeps unique ones") {
+    val footer = "License: shared footer"
+    val df = Seq(
+      (1L, s"alpha body one\n$footer"),
+      (2L, s"beta body two\n$footer\nbeta only line"),
+      (3L, "gamma stands alone"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateLines(df, "doc_id", "text", minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    def sha(s: String) =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((2L, 1L, sha("alpha body one"))))
+    assert(got(2L) == ((3L, 1L, sha("beta body two\nbeta only line"))))
+    assert(got(3L) == ((1L, 0L, sha("gamma stands alone"))))
+  }
+
+  test("cosine dup clusters: transitive grouping, min-id survivor") {
+    // 0,1,2 identical; 3 orthogonal-ish; singleton stays its own cluster
+    val v = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val w = Array.tabulate(8)(i => if (i == 7) 1.0f else 0.0f)
+    val df = Seq((0L, v), (1L, v), (2L, v), (3L, w))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineDupClusters(df, "vec_id", "embedding",
+      threshold = 0.99, bandBits = 4, numBands = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got == Map(
+      0L -> ((0L, true)), 1L -> ((0L, false)), 2L -> ((0L, false)),
+      3L -> ((3L, true))))
+  }
+
+  test("split assignment: deterministic partition with in-band buckets") {
+    import graft.operators.Corpus
+    val df = (0L until 200L).toDF("doc_id")
+    def run() = Corpus.splitAssign(df, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val got = run()
+    assert(got.length == 200 && got.map(_._1).distinct.length == 200)
+    assert(run().toSeq == got.toSeq, "split must be run-to-run stable")
+    got.foreach { case (id, b, s) =>
+      assert(b >= 0 && b < 100, s"bucket $b out of range for $id")
+      val expect = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(s == expect, s"id $id bucket $b got $s")
+    }
+    // custom weights: last band is the catch-all
+    val two = Corpus.splitAssign(df, "doc_id", Seq("a" -> 1, "b" -> 1))
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    two.foreach { case (b, s) => assert(s == (if (b < 1) "a" else "b")) }
+  }
 }
