@@ -24,6 +24,10 @@ object QueryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    // GRAFT_EXPLAIN=1: dump the formatted physical plan once before the
+    // timing loop (plan audit without a timing rep)
+    if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -210,4 +210,40 @@ class PlanShapeSpec extends GraftSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("quality signals: scalar metrics ride the scan shuffle-free") {
+    // doc_id must not be provably unique (Range ids are — Spark 4 then
+    // elides the aggregation exchanges; the IVF pin has the same note)
+    val df = spark.range(500)
+      .select((col("id") % 1000).as("doc_id"),
+        concat(lit("w"), (col("id") % 9).cast("string"), lit(" x y"))
+          .as("text"))
+    val plan = graft.operators.Corpus
+      .qualitySignals(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // exactly the bigram path's two aggregation exchanges — the per-row
+    // metrics (word count, mean length, distinct fraction) must NOT add
+    // a third: they are computed in the projection feeding the join, and
+    // the token-length sum is length(concat_ws(...)), not an interpreted
+    // array-aggregate lambda
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles:\n$plan")
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
+  test("line dedup: doc reassembly takes exactly one grouping exchange") {
+    val df = spark.range(200)
+      .select((col("id") % 1000).as("doc_id"),
+        concat(col("id").cast("string"), lit(" body\nshared footer"))
+          .as("text"))
+    val plan = graft.operators.Dedup
+      .dropBoilerplateLines(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the boilerplate side aggregates (id,fp)-distinct then per-fp count
+    // (2 exchanges on the line set); the reassembly groups by doc id
+    // (1 exchange). A 4th would mean the join stopped being key-local.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"expected <=3 shuffles, got $shuffles:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
 }
