@@ -399,6 +399,17 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5, hash = sketchHash)),
+    // benchmark decontamination: near-dup pairs ACROSS a train/eval
+    // split (eval = doc_id % 5 == 0; 14 of the corpus's 25 near-dup
+    // pairs cross that split) — eval-leakage hygiene riding the verified
+    // minhash pipeline through a parity id remap
+    "q_contamination" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.crossCorpusContamination(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", threshold = 0.5, hash = sketchHash)
+    },
     "q_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text",
         sketchHash)
@@ -832,6 +843,49 @@ object SparkEntry {
            |  JOIN shg sb ON sb.doc_id = cand.id_b)
            |SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
            |FROM jv WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5""".stripMargin,
+      // the q_minhash_pairs chain over the parity-remapped train/eval
+      // union, keeping only cross-side pairs — mirrors
+      // Dedup.crossCorpusContamination (even id = train, odd = eval)
+      "q_contamination" ->
+        s"""WITH uni AS (
+           |  SELECT doc_id * 2 AS doc_id, text FROM documents
+           |    WHERE doc_id % 5 <> 0
+           |  UNION ALL
+           |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+           |    WHERE doc_id % 5 = 0),
+           |tks AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)),'\\s+') AS tk FROM uni),
+           |shg AS (SELECT doc_id,
+           |    list_distinct(CASE WHEN len(tk) < 3
+           |      THEN [array_to_string(tk, ' ')]
+           |      ELSE list_transform(generate_series(1, len(tk) - 2),
+           |             i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+           |  FROM tks),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+           |sig AS (SELECT doc_id, r.h AS h,
+           |    min(${ph("s || '#' || r.h")}) AS m
+           |  FROM ex CROSS JOIN range(30) r(h) GROUP BY 1, 2),
+           |bnd AS (SELECT doc_id, h // 3 AS b,
+           |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY h) AS bs
+           |  FROM sig GROUP BY 1, 2),
+           |keys AS (SELECT doc_id, ${ph("bs || '#' || b")} AS band FROM bnd),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM keys a JOIN keys b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |jv AS (SELECT id_a, id_b,
+           |    len(list_intersect(sa.sh, sb.sh)) AS i,
+           |    len(sa.sh) + len(sb.sh)
+           |      - len(list_intersect(sa.sh, sb.sh)) AS u
+           |  FROM cand JOIN shg sa ON sa.doc_id = cand.id_a
+           |  JOIN shg sb ON sb.doc_id = cand.id_b)
+           |SELECT
+           |  CAST((CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2
+           |    AS BIGINT) AS train_id,
+           |  CAST((CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) // 2
+           |    AS BIGINT) AS eval_id,
+           |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+           |FROM jv WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5
+           |  AND id_a % 2 <> id_b % 2""".stripMargin,
       // same pair pipeline, then connected components (recursive CTE
       // seeded from ALL docs so singletons are their own cluster) + the
       // min-id survivor rule — mirrors Dedup.nearDupClusters exactly

@@ -422,6 +422,54 @@ object Dedup {
       )
   }
 
+  /** Benchmark DECONTAMINATION: near-duplicate pairs ACROSS two corpora
+    * — training docs vs an eval/benchmark set — the pre-training hygiene
+    * pass that catches eval-set leakage (the n-gram-overlap family of
+    * GPT-3's appendix, run here through the engine's verified minhash
+    * pipeline). Returns (train_id, eval_id, jaccard) for every
+    * cross-corpus pair with verified Jaccard >= threshold; same-side
+    * duplicates are NOT reported (run [[minhashPairs]] per corpus for
+    * those).
+    *
+    * Mechanics: ids remap to 2*id + side (0 = train, 1 = eval) so ONE
+    * run of [[minhashPairs]] mines both corpora together — no new
+    * sketch code to trust — then pairs whose endpoints share a side are
+    * dropped and ids map back (parity IS the side). Ids must be
+    * non-negative and < 2^62 for the remap to be collision-free.
+    * Scale shape: identical to minhashPairs; the eval side is typically
+    * tiny, so its shingles ride the same bucketed joins (no broadcast
+    * special-case needed — the bands bucket both sides symmetrically).
+    */
+  def crossCorpusContamination(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      threshold: Double = 0.5,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    def side(df: DataFrame, tag: Int) = df.select(
+      (col(idCol).cast("long") * 2 + tag).as("id"),
+      col(textCol).as("text"),
+    )
+    val pairs = minhashPairs(
+      side(train, 0).unionByName(side(evalDocs, 1)),
+      "id", "text", shingleLen, numHashes, threshold, hash)
+    val evenOf = when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
+      .otherwise(col("id_b"))
+    val oddOf = when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
+      .otherwise(col("id_b"))
+    pairs
+      .where(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+      .select(
+        call_function("shiftright", evenOf, lit(1)).as("train_id"),
+        call_function("shiftright", oddOf, lit(1)).as("eval_id"),
+        col("jaccard"),
+      )
+  }
+
   /** Cross-document boilerplate LINE removal (the line-dedup pass of
     * C4 / RefinedWeb-style cleaning, Penedo et al. 2023): a line whose
     * exact content appears in at least `minDocs` DISTINCT documents is

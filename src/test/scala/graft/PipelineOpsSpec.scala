@@ -716,6 +716,30 @@ class PipelineOpsSpec extends GraftSuite {
       3L -> ((3L, true))))
   }
 
+  test("contamination reports only cross-corpus pairs, ids mapped back") {
+    // train: 100/101 near-dups of each other AND of eval 900; train 102
+    // matches nothing in eval
+    val train = Seq(
+      (100L, baseText),
+      (101L, baseText.replace("quick", "swift")),
+      (102L, "completely unrelated words about machinery and gears"),
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (900L, baseText + " tail"),
+      (901L, "different benchmark prompt entirely about astronomy"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusContamination(train, evalDocs,
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 900L)), s"missed planted leak: $got")
+    // no same-side pair may surface, and ids must be the originals
+    got.foreach { case (tid, eid) =>
+      assert(Set(100L, 101L, 102L)(tid) && Set(900L, 901L)(eid),
+        s"bad pair ($tid, $eid)")
+    }
+    assert(!got.exists(_._2 == 901L), "unrelated eval doc flagged")
+  }
+
   test("split assignment: deterministic partition with in-band buckets") {
     import graft.operators.Corpus
     val df = (0L until 200L).toDF("doc_id")
