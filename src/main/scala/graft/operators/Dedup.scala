@@ -400,18 +400,63 @@ object Dedup {
     * `store`, its resumability — at 100 TB the component rounds are the
     * long pole, and a crashed dedup job should resume there, not re-mine
     * candidate pairs from scratch.
+    *
+    * Adaptive small-graph path: the dup graph is usually FAR smaller
+    * than the corpus (it has one edge per verified duplicate pair), so
+    * when the pair count is at most `smallCutoff` the components come
+    * from a driver-side union-find over the collected ids-only pairs —
+    * the same bounded-small-side reasoning as a broadcast join's build
+    * side (default 2^20 pairs = ~16 MB), decided by a count, exactly
+    * like Wcc's own broadcast-jump endgame. Above the cutoff the full
+    * distributed WCC runs; both paths produce identical clusters (the
+    * union-find points larger roots at smaller ones, so every root IS
+    * its component's min id). `store` only applies to the WCC path —
+    * resume matters precisely when the component rounds are the long
+    * pole, which the small path by definition is not.
     */
   def clustersFromPairs(
       universe: DataFrame,
       pairs: DataFrame,
       store: Option[graft.SnapshotStore] = None,
+      smallCutoff: Long = 1L << 20,
   ): DataFrame = {
     import universe.sparkSession.implicits._
-    val dupEdges = pairs
+    val spark = universe.sparkSession
+    val p = pairs
       .select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"), lit(1.0).as("weight"))
-      .as[graft.Edge]
-    val comps = graft.algos.Wcc.run(dupEdges, store = store).comps.toDF()
+        col("id_b").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.count()
+    val comps: DataFrame = if (nPairs <= smallCutoff) {
+      val arr = p.as[(Long, Long)].collect()
+      p.unpersist(false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      arr.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts =
+        arr.iterator.flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct
+      spark.createDataset(verts.toSeq.map(v => (v, find(v))))
+        .toDF("vid", "comp")
+    } else {
+      val dupEdges = p
+        .select(col("src"), col("dst"), lit(1.0).as("weight"))
+        .as[graft.Edge]
+      val c = graft.algos.Wcc.run(dupEdges, store = store).comps.toDF()
+      // safe: the component state was materialized by the superstep cuts
+      p.unpersist(false)
+      c
+    }
     universe
       .select(col("id").cast("long").as("id"))
       .join(comps.withColumnRenamed("vid", "id"), Seq("id"), "left_outer")
