@@ -344,6 +344,14 @@ object SparkEntry {
       operators.Corpus.splitAssign(
         t(s, d, "documents").select("doc_id"), "doc_id",
         hash = sketchHash)),
+    // sequence-packing layout: 8 shards, start offset = exclusive
+    // running token sum in (hash, id) order within the shard
+    "q_pack_shards" -> ((s, d) =>
+      operators.Corpus.packIntoShards(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text",
+        nShards = 8, hash = sketchHash)
+        .select(col("id").as("doc_id"), col("shard"), col("start_tok"),
+          col("n_tokens"))),
     "q_ann_cosine" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(
@@ -1161,6 +1169,22 @@ object SparkEntry {
            |  sha256(coalesce(string_agg(line, chr(10) ORDER BY pos)
            |    FILTER (NOT boiler), '')) AS clean_sha
            |FROM m GROUP BY doc_id""".stripMargin,
+      // mirrors Corpus.packIntoShards(nShards=8): shard and order key are
+      // the portable hash of the id's string form; start_tok is the
+      // exclusive running token sum per shard
+      "q_pack_shards" ->
+        s"""WITH b AS (SELECT doc_id,
+           |  CAST(${ph("CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard,
+           |  ${ph("CAST(doc_id AS VARCHAR)")} AS hk,
+           |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT)
+           |    AS n_tokens
+           |FROM documents)
+           |SELECT doc_id, shard,
+           |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hk, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    - n_tokens AS BIGINT) AS start_tok,
+           |  n_tokens
+           |FROM b""".stripMargin,
       // mirrors Corpus.splitAssign's 90/5/5 defaults over the portable
       // hash of the id's canonical string form (non-negative, so % = pmod)
       "q_split_assign" ->

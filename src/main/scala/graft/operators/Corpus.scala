@@ -145,6 +145,47 @@ object Corpus {
       )
   }
 
+  /** Deterministic sequence PACKING layout: the GPT-style pretraining
+    * step that concatenates documents into a token stream and cuts
+    * fixed-length contexts. Each doc is assigned a shard (hash band of
+    * its id) and a start offset in that shard's stream (the exclusive
+    * running token sum in (hash(id), id) order), from which any context
+    * length derives (`bin = start_tok / ctxLen`). Deterministic: the
+    * layout is a pure function of the doc ids and token counts — stable
+    * across runs, partitionings, and engines.
+    *
+    * Scale shape: the only shuffle is the per-shard window, and shards
+    * are a hash partition of the corpus sized by the caller (`nShards` ≈
+    * corpus tokens / desired shard size), so no global sort and no
+    * unbounded window state — each window partition holds |corpus| /
+    * nShards docs in expectation, and a running sum spills gracefully.
+    */
+  def packIntoShards(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    require(nShards >= 1, "nShards >= 1")
+    val h = hash.one(col(idCol).cast("string"))
+    val base = docs.select(
+      col(idCol).as("id"),
+      pmod(h, lit(nShards.toLong)).cast("long").as("shard"),
+      h.as("hk"),
+      Text.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+    )
+    val w = Window.partitionBy("shard").orderBy(col("hk"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .select(
+        col("id"),
+        col("shard"),
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).as("start_tok"),
+        col("n_tokens"),
+      )
+  }
+
   /** Deterministic train/val/test assignment: bucket = hash(id) mod
     * Σweights, split = the weight band the bucket falls in. Hash-based,
     * so membership is a pure function of the id — stable across runs,

@@ -758,6 +758,25 @@ class PipelineOpsSpec extends GraftSuite {
     assert(!got.exists(_._2 == 901L), "unrelated eval doc flagged")
   }
 
+  test("packing layout tiles each shard gaplessly from offset zero") {
+    import graft.operators.Corpus
+    val df = (0L until 40L).map(i => (i, ("w " * (i % 5 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    def run() = Corpus.packIntoShards(df, "doc_id", "text", nShards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = run()
+    assert(got.map(_._1).distinct.length == 40)
+    assert(run().sorted.toSeq == got.sorted.toSeq, "layout must be stable")
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      var expect = 0L
+      rows.sortBy(_._3).foreach { case (_, _, st, nt) =>
+        assert(st == expect, s"shard $sh: start $st, expected $expect")
+        expect += nt
+      }
+    }
+  }
+
   test("split assignment: deterministic partition with in-band buckets") {
     import graft.operators.Corpus
     val df = (0L until 200L).toDF("doc_id")
