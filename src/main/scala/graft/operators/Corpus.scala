@@ -207,16 +207,14 @@ object Corpus {
     // oracle) agree on the operand; pmod keeps xxhash64's negatives in
     // range (the portable hash is already non-negative)
     val bucket = pmod(hash.one(col(idCol).cast("string")), lit(total.toLong))
-    val label = weights
+    // bucket < total always, so the last band is the otherwise-branch
+    val cums = weights.init
       .scanLeft(("", 0)) { case ((_, acc), (name, w)) => (name, acc + w) }
       .tail
-      .foldLeft(Option.empty[Column]) { case (acc, (name, hi)) =>
-        Some(acc match {
-          case None    => when(bucket < hi, lit(name))
-          case Some(c) => c.when(bucket < hi, lit(name))
-        })
+    val label: Column = cums
+      .foldRight(lit(weights.last._1)) { case ((name, hi), rest) =>
+        when(bucket < hi, lit(name)).otherwise(rest)
       }
-      .get
     df.select(
       col(idCol),
       bucket.cast("long").as("bucket"),

@@ -367,17 +367,7 @@ object Dedup {
       hash: Hash64 = Hash64.Xx,
       store: Option[graft.SnapshotStore] = None,
   ): DataFrame = {
-    import docs.sparkSession.implicits._
-    // the WCC phase keys on Long vertex ids; a silent cast would turn
-    // string/UUID ids into NULLs deep inside the component rounds.
-    // Non-numeric ids: pre-assign Longs (e.g. EdgeBuilder.vidOf) first.
-    val idType = docs.schema(docs.schema.fieldIndex(idCol)).dataType
-    require(
-      Seq("byte", "short", "integer", "long")
-        .contains(idType.typeName),
-      s"nearDupClusters needs an integral id column; '$idCol' is " +
-        s"${idType.typeName} — hash it to a Long first (EdgeBuilder.vidOf)",
-    )
+    requireIntegralId(docs, idCol, "nearDupClusters")
     val pairs =
       minhashPairs(docs, idCol, textCol, shingleLen, numHashes, threshold,
         hash)
@@ -422,9 +412,15 @@ object Dedup {
   ): DataFrame = {
     import universe.sparkSession.implicits._
     val spark = universe.sparkSession
-    val p = pairs
+    requireIntegralId(universe, "id", "clustersFromPairs")
+    val raw = pairs
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
+    // a caller that already pinned the distributed path (cutoff <= 0)
+    // must not pay the sizing pass: no persist, no count
+    if (smallCutoff <= 0)
+      return joinUniverse(universe, wccComps(raw, store))
+    val p = raw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = p.count()
     val comps: DataFrame = if (nPairs <= smallCutoff) {
@@ -449,14 +445,47 @@ object Dedup {
       spark.createDataset(verts.toSeq.map(v => (v, find(v))))
         .toDF("vid", "comp")
     } else {
-      val dupEdges = p
-        .select(col("src"), col("dst"), lit(1.0).as("weight"))
-        .as[graft.Edge]
-      val c = graft.algos.Wcc.run(dupEdges, store = store).comps.toDF()
+      val c = wccComps(p, store)
       // safe: the component state was materialized by the superstep cuts
       p.unpersist(false)
       c
     }
+    joinUniverse(universe, comps)
+  }
+
+  /** Guard shared by every clustering entry point: the WCC/union-find
+    * phases key on Long ids, and a silent cast would turn string/UUID
+    * ids into NULLs (non-ANSI) or an opaque mid-job cast error (ANSI).
+    * Non-numeric ids: pre-assign Longs first (EdgeBuilder.vidOf).
+    */
+  private def requireIntegralId(
+      df: DataFrame, idCol: String, op: String): Unit = {
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(
+      Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"$op needs an integral id column; '$idCol' is ${idType.typeName}" +
+        " — hash it to a Long first (EdgeBuilder.vidOf)",
+    )
+  }
+
+  /** Distributed components over (src, dst) pair rows — the resumable
+    * WCC path of [[clustersFromPairs]].
+    */
+  private def wccComps(
+      pairs: DataFrame, store: Option[graft.SnapshotStore]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val dupEdges = pairs
+      .select(col("src"), col("dst"), lit(1.0).as("weight"))
+      .as[graft.Edge]
+    graft.algos.Wcc.run(dupEdges, store = store).comps.toDF()
+  }
+
+  /** One row per universe id with its cluster + survivor flag;
+    * ids absent from the dup graph are surviving singletons.
+    */
+  private def joinUniverse(
+      universe: DataFrame, comps: DataFrame): DataFrame =
     universe
       .select(col("id").cast("long").as("id"))
       .join(comps.withColumnRenamed("vid", "id"), Seq("id"), "left_outer")
@@ -465,7 +494,6 @@ object Dedup {
         coalesce(col("comp"), col("id")).as("cluster"),
         (coalesce(col("comp"), col("id")) === col("id")).as("is_survivor"),
       )
-  }
 
   /** Benchmark DECONTAMINATION: near-duplicate pairs ACROSS two corpora
     * — training docs vs an eval/benchmark set — the pre-training hygiene
@@ -495,6 +523,8 @@ object Dedup {
       threshold: Double = 0.5,
       hash: Hash64 = Hash64.Xx,
   ): DataFrame = {
+    requireIntegralId(train, idCol, "crossCorpusContamination")
+    requireIntegralId(evalDocs, idCol, "crossCorpusContamination")
     def side(df: DataFrame, tag: Int) = df.select(
       (col(idCol).cast("long") * 2 + tag).as("id"),
       col(textCol).as("text"),
@@ -509,8 +539,8 @@ object Dedup {
     pairs
       .where(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
       .select(
-        call_function("shiftright", evenOf, lit(1)).as("train_id"),
-        call_function("shiftright", oddOf, lit(1)).as("eval_id"),
+        shiftright(evenOf, 1).as("train_id"),
+        shiftright(oddOf, 1).as("eval_id"),
         col("jaccard"),
       )
   }
