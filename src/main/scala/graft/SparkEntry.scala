@@ -585,18 +585,32 @@ object SparkEntry {
            |SELECT count(*) AS triangles
            |FROM e e1 JOIN e e2 ON e1.dst = e2.src
            |JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
-      "q_wcc_sizes" ->
-        s"""WITH RECURSIVE $edgesCte,
-           |sym AS (SELECT src, dst FROM e
+      // unrolled pointer-jumping WCC (replaces the recursive-CTE form,
+      // whose UNION state goes quadratic on near-connected graphs —
+      // >100 CPU-min at sf0.1 vs ~8 s for this): each round takes the
+      // neighbor-min of comps then doubles pointers (comp := comp(comp)),
+      // reaching 2^k hops after k rounds; 16 rounds converge for any
+      // diameter up to ~2^16 (validated against union-find on the sf
+      // corpora AND a 50k-vertex path)
+      "q_wcc_sizes" -> {
+        val wccChain = (1 to 16).map { k =>
+          val prev = s"d${k - 1}"
+          s"""n$k AS MATERIALIZED (
+             |  SELECT v.vid, least(v.comp, coalesce(min(c.comp), v.comp)) AS comp
+             |  FROM $prev v LEFT JOIN sym s ON s.src = v.vid
+             |  LEFT JOIN $prev c ON c.vid = s.dst
+             |  GROUP BY v.vid, v.comp),
+             |d$k AS MATERIALIZED (
+             |  SELECT a.vid, b.comp AS comp FROM n$k a JOIN n$k b ON a.comp = b.vid)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesCte,
+           |sym AS MATERIALIZED (SELECT src, dst FROM e
            |        UNION ALL SELECT dst AS src, src AS dst FROM e),
            |verts AS (SELECT DISTINCT src AS vid FROM sym),
-           |reach AS (
-           |  SELECT vid, vid AS comp FROM verts
-           |  UNION
-           |  SELECT s.dst AS vid, r.comp FROM reach r JOIN sym s ON r.vid = s.src
-           |),
-           |comps AS (SELECT vid, min(comp) AS comp FROM reach GROUP BY 1)
-           |SELECT comp, count(*) AS cnt FROM comps GROUP BY 1""".stripMargin,
+           |d0 AS MATERIALIZED (SELECT vid, vid AS comp FROM verts),
+           |$wccChain
+           |SELECT comp, count(*) AS cnt FROM d16 GROUP BY 1""".stripMargin
+      },
       "q_labelprop_sizes" ->
         s"""WITH $edgesCte,
            |sym AS MATERIALIZED (SELECT src, dst, weight FROM e
