@@ -79,4 +79,79 @@ class EdgeCaseSpec extends GraftSuite {
     val tail = (4 until 10).map(i => (0L, i.toLong)).toSet
     assert(got == core ++ tail)
   }
+
+  private def rd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("qualitySignals matches a plain-Scala oracle on random docs") {
+    import graft.operators.Corpus
+    for (seed <- Seq(5, 19)) {
+      val r = new scala.util.Random(seed)
+      val vocab = Seq("aa", "b", "ccc", "dddd", "ee", "f")
+      val docs = (0 until 40).map { i =>
+        val n = 1 + r.nextInt(12)
+        (i.toLong,
+          (0 until n).map(_ => vocab(r.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Corpus
+        .qualitySignals(docs.toDF("doc_id", "text"), "doc_id", "text",
+          minWords = 6, meanWordLen = (1.5, 3.0), minDistinctFrac = 0.5,
+          maxTopBigramFrac = 0.4)
+        .collect()
+        .map(row => row.getLong(0) ->
+          (row.getLong(1), row.getDouble(2), row.getDouble(3),
+            row.getDouble(4), row.getBoolean(5)))
+        .toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+")
+        val nw = toks.length.toLong
+        val mwl = rd6(toks.map(_.length).sum.toDouble / nw)
+        val dwf = rd6(toks.distinct.length.toDouble / nw)
+        val bgs =
+          if (toks.length < 2) Seq(toks.mkString(" "))
+          else toks.sliding(2).map(_.mkString(" ")).toSeq
+        val tbf =
+          rd6(bgs.groupBy(identity).map(_._2.size).max.toDouble / bgs.size)
+        val keep = nw >= 6 && mwl >= 1.5 && mwl <= 3.0 &&
+          dwf >= 0.5 && tbf <= 0.4
+        assert(got(id) == ((nw, mwl, dwf, tbf, keep)),
+          s"seed $seed doc $id '$text': ${got(id)}")
+      }
+    }
+  }
+
+  test("dropBoilerplateLines matches a plain-Scala oracle on random docs") {
+    def sha(s: String) =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (seed <- Seq(7, 23)) {
+      val r = new scala.util.Random(seed)
+      val stock = Seq("alpha", "beta", "gamma", "delta", "eps")
+      val docs = (0 until 30).map { i =>
+        val n = 1 + r.nextInt(5)
+        val ls = (0 until n).map { _ =>
+          val base = stock(r.nextInt(stock.size))
+          if (r.nextBoolean()) s"$base u$i" else base
+        }
+        (i.toLong, ls.mkString("\n"))
+      }
+      val got = Dedup
+        .dropBoilerplateLines(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(row => row.getLong(0) ->
+          (row.getLong(1), row.getLong(2), row.getString(3)))
+        .toMap
+      val docCount = docs
+        .flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val boiler = docCount.filter(_._2 >= 2).keySet
+      docs.foreach { case (id, text) =>
+        val ls = text.split("\n", -1)
+        val kept = ls.filterNot(boiler)
+        val want = (ls.length.toLong, (ls.length - kept.length).toLong,
+          sha(kept.mkString("\n")))
+        assert(got(id) == want, s"seed $seed doc $id: ${got(id)} vs $want")
+      }
+    }
+  }
 }
