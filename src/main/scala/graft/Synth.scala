@@ -69,6 +69,36 @@ object Synth {
       .as[SourceFile]
   }
 
+  /** Deterministic synthetic DOCUMENT corpus for the dedup layer's scale
+    * runs: doc d carries `tokensPerDoc` vocab words derived from
+    * xxhash64(source, position); every 10th doc (id % 10 == 9) is a
+    * planted near-duplicate of doc id-1 with ~5% of positions perturbed
+    * (≈15% of 3-gram shingles differ → Jaccard ≈ 0.74, comfortably above
+    * the 0.5 mining threshold, LSH recall ≈ 0.99 at r=3/b=10). Pure
+    * column expressions — codegen, seedless, reproducible at any scale.
+    */
+  def docTable(
+      spark: SparkSession,
+      nDocs: Long,
+      tokensPerDoc: Int = 40,
+      vocab: Long = 1L << 16,
+  ): org.apache.spark.sql.DataFrame = {
+    val isDup = col("id") % 10 === 9
+    val base = when(isDup, col("id") - 1).otherwise(col("id"))
+    val toks = transform(
+      sequence(lit(0), lit(tokensPerDoc - 1)),
+      j => {
+        val perturbed =
+          isDup && pmod(xxhash64(col("id"), j, lit(1)), lit(20)) === 0
+        val src = when(perturbed, col("id") * 2 + 1).otherwise(base)
+        concat(lit("w"), pmod(xxhash64(src, j), lit(vocab)).cast("string"))
+      },
+    )
+    spark
+      .range(nDocs)
+      .select(col("id").as("doc_id"), concat_ws(" ", toks).as("text"))
+  }
+
   /** Oracle-side regeneration of row `id` in plain Scala. Must match
     * [[sourceTable]] byte for byte (sha256 row-equality, BASELINE.json:15).
     */

@@ -50,4 +50,29 @@ class SynthSpec extends GraftSuite {
       .groupBy("repo").count().collect().map(_.getLong(1))
     assert(byRepo.max > 3 * (byRepo.sum / byRepo.length))
   }
+
+  test("docTable: deterministic, with planted near-dups every 10th doc") {
+    def texts() = Synth.docTable(spark, 200, tokensPerDoc = 40)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = texts()
+    assert(a == texts(), "doc corpus must be run-to-run identical")
+    (0L until 200L).foreach { id =>
+      val toks = a(id).split(" ")
+      assert(toks.length == 40)
+      def sharedWithPrev =
+        toks.zip(a(id - 1).split(" ")).count { case (x, y) => x == y }
+      if (id % 10 == 9) {
+        // a planted dup shares >= ~80% of positions with its base;
+        // perturbation probability is 1/20 per position, so ~13% of
+        // dups perturb NOTHING (exact duplicates — also valid dedup prey)
+        assert(sharedWithPrev >= 32,
+          s"doc $id shares only $sharedWithPrev/40")
+      } else if (id > 0 && (id - 1) % 10 != 9) {
+        // non-dup neighbors are unrelated: expect almost no positional
+        // overlap (vocab 65536, 40 positions)
+        assert(sharedWithPrev <= 3,
+          s"unrelated docs $id,${id - 1} share $sharedWithPrev")
+      }
+    }
+  }
 }
