@@ -352,6 +352,19 @@ object SparkEntry {
         nShards = 8, hash = sketchHash)
         .select(col("id").as("doc_id"), col("shard"), col("start_tok"),
           col("n_tokens"))),
+    // corpus-level heavy hitters: top-20 3-gram shingles by frequency
+    // (the "most common boilerplate phrases" report a cleaning pipeline
+    // reviews before writing removal rules) — partial map-side counts
+    // then TakeOrderedAndProject, no full sort
+    "q_top_ngrams" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(Text.shingles(col("text"), 3)).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(20)
+        .select(col("gram"), col("cnt"))
+    },
     "q_ann_cosine" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(
@@ -1199,6 +1212,16 @@ object SparkEntry {
            |    - n_tokens AS BIGINT) AS start_tok,
            |  n_tokens
            |FROM b""".stripMargin,
+      // top-20 3-gram shingles by corpus frequency; ties broken by gram
+      "q_top_ngrams" ->
+        """WITH tk AS (SELECT
+          |  string_split_regex(trim(lower(text)),'\s+') AS t FROM documents),
+          |g AS (SELECT unnest(CASE WHEN len(t) < 3
+          |    THEN [array_to_string(t, ' ')]
+          |    ELSE list_transform(generate_series(1, len(t) - 2),
+          |           i -> array_to_string(t[i:i+2], ' ')) END) AS gram FROM tk)
+          |SELECT gram, count(*) AS cnt FROM g GROUP BY 1
+          |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
       // mirrors Corpus.splitAssign's 90/5/5 defaults over the portable
       // hash of the id's canonical string form (non-negative, so % = pmod)
       "q_split_assign" ->

@@ -231,6 +231,21 @@ class PlanShapeSpec extends GraftSuite {
     assert(!plan.contains("CodegenFallback"), plan)
   }
 
+  test("packing layout: one shard exchange, never a global range sort") {
+    val df = spark.range(300)
+      .select((col("id") % 1000).as("doc_id"),
+        concat(lit("w "), col("id").cast("string")).as("text"))
+    val plan = graft.operators.Corpus
+      .packIntoShards(df, "doc_id", "text", nShards = 4)
+      .queryExecution.executedPlan.toString
+    // the layout is per-shard: ONE hash exchange feeds the running-sum
+    // window; a rangepartitioning exchange would mean the plan
+    // regressed to a global sort (the non-scalable form)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle:\n$plan")
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("line dedup: doc reassembly takes exactly one grouping exchange") {
     val df = spark.range(200)
       .select((col("id") % 1000).as("doc_id"),
