@@ -352,6 +352,26 @@ object SparkEntry {
         nShards = 8, hash = sketchHash)
         .select(col("id").as("doc_id"), col("shard"), col("start_tok"),
           col("n_tokens"))),
+    // the composed production cleaning decision: a doc ships iff it
+    // passes the quality gate AND survives near-dup clustering — the
+    // two independent pipelines join on doc id (what a real cleaning
+    // job runs as one plan)
+    "q_clean_corpus" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val quality = operators.Corpus
+        .qualitySignals(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("keep"))
+      val dedup = Dedup
+        .nearDupClusters(docs, "doc_id", "text", threshold = 0.5,
+          hash = sketchHash)
+        .select(col("id").as("doc_id"), col("is_survivor"))
+      quality
+        .join(dedup, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          (col("keep") && col("is_survivor")).as("ship"),
+        )
+    },
     // corpus-level heavy hitters: top-20 3-gram shingles by frequency
     // (the "most common boilerplate phrases" report a cleaning pipeline
     // reviews before writing removal rules) — partial map-side counts
@@ -1212,6 +1232,67 @@ object SparkEntry {
            |    - n_tokens AS BIGINT) AS start_tok,
            |  n_tokens
            |FROM b""".stripMargin,
+      // the q_quality and q_dedup_clusters oracle chains joined on doc
+      // id: ship = keep AND is_survivor (CTE names are disjoint across
+      // the two chains, so this is their literal concatenation)
+      "q_clean_corpus" ->
+        s"""WITH RECURSIVE tk AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)),'\\s+') AS t FROM documents),
+           |m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+           |  round(CAST(length(array_to_string(t, '')) AS DOUBLE)
+           |    / len(t), 6) AS mean_word_len,
+           |  round(CAST(len(list_distinct(t)) AS DOUBLE)
+           |    / len(t), 6) AS distinct_word_frac FROM tk),
+           |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2
+           |    THEN [array_to_string(t, ' ')]
+           |    ELSE list_transform(generate_series(1, len(t) - 1),
+           |           i -> array_to_string(t[i:i+1], ' ')) END) AS g FROM tk),
+           |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+           |tb AS (SELECT doc_id,
+           |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+           |FROM bgc GROUP BY 1),
+           |q AS (SELECT m.doc_id,
+           |  (n_words >= 30 AND mean_word_len >= 4.3 AND mean_word_len <= 4.7
+           |   AND distinct_word_frac >= 0.4 AND top_bigram_frac <= 0.05)
+           |    AS keep
+           |FROM m JOIN tb ON m.doc_id = tb.doc_id),
+           |tks AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)),'\\s+') AS tkn FROM documents),
+           |shg AS MATERIALIZED (SELECT doc_id,
+           |    list_distinct(CASE WHEN len(tkn) < 3
+           |      THEN [array_to_string(tkn, ' ')]
+           |      ELSE list_transform(generate_series(1, len(tkn) - 2),
+           |             i -> array_to_string(tkn[i:i+2], ' ')) END) AS sh
+           |  FROM tks),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+           |sig AS (SELECT doc_id, r.h AS h,
+           |    min(${ph("s || '#' || r.h")}) AS mh
+           |  FROM ex CROSS JOIN range(30) r(h) GROUP BY 1, 2),
+           |bnd AS (SELECT doc_id, h // 3 AS b,
+           |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h) AS bs
+           |  FROM sig GROUP BY 1, 2),
+           |keys AS (SELECT doc_id, ${ph("bs || '#' || b")} AS band FROM bnd),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM keys a JOIN keys b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |jv AS (SELECT id_a, id_b,
+           |    len(list_intersect(sa.sh, sb.sh)) AS i,
+           |    len(sa.sh) + len(sb.sh)
+           |      - len(list_intersect(sa.sh, sb.sh)) AS u
+           |  FROM cand JOIN shg sa ON sa.doc_id = cand.id_a
+           |  JOIN shg sb ON sb.doc_id = cand.id_b),
+           |prs AS MATERIALIZED (SELECT id_a, id_b FROM jv
+           |  WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM prs
+           |        UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+           |reach AS (
+           |  SELECT doc_id AS vid, doc_id AS comp FROM documents
+           |  UNION
+           |  SELECT s.dst AS vid, r.comp FROM reach r JOIN sym s ON r.vid = s.src
+           |),
+           |comps AS (SELECT vid, min(comp) AS comp FROM reach GROUP BY 1)
+           |SELECT q.doc_id, (q.keep AND c.vid = c.comp) AS ship
+           |FROM q JOIN comps c ON q.doc_id = c.vid""".stripMargin,
       // top-20 3-gram shingles by corpus frequency; ties broken by gram
       "q_top_ngrams" ->
         """WITH tk AS (SELECT
