@@ -290,6 +290,40 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_words"),
           col("mean_word_len"), col("distinct_word_frac"),
           col("top_bigram_frac"), col("keep"))),
+    // Gopher repetition filters (within-doc): the corpus is single-line,
+    // so the query plants line repetition — every 4th doc duplicates its
+    // own line, every 5th gains two identical filler lines (mirrored
+    // verbatim in the oracle SQL) — and checks all four repetition
+    // metrics plus the keep flag at Gopher's published thresholds
+    "q_repetition" -> { (s, d) =>
+      val aug = t(s, d, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("\n"), col("text"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("\nRepeated filler line\nRepeated filler line"))
+            .otherwise(lit("")),
+        ).as("text2"),
+      )
+      operators.Corpus.repetitionSignals(aug, "doc_id", "text2")
+        .select(col("id").as("doc_id"), col("n_lines"),
+          col("dup_line_frac"), col("dup_line_char_frac"),
+          col("top_3gram_frac"), col("top_4gram_frac"), col("keep_rep"))
+    },
+    // exact n-gram decontamination: same parity train/eval split as
+    // q_contamination; the corpus's exact-duplicate groups guarantee
+    // cross-split verbatim overlap, so both flag branches occur
+    "q_ngram_contam" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.ngramContamination(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", n = 8, hash = sketchHash)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_hits"),
+          col("hit_frac"), col("contaminated"))
+    },
     // PII detection + redaction: the corpus has no organic PII, so the
     // query plants deterministic emails/IPs (pure column expressions,
     // mirrored verbatim in the oracle SQL) and checks match counts plus
@@ -1169,6 +1203,83 @@ object SparkEntry {
           |  (n_words >= 30 AND mean_word_len >= 4.3 AND mean_word_len <= 4.7
           |   AND distinct_word_frac >= 0.4 AND top_bigram_frac <= 0.05) AS keep
           |FROM m JOIN tb ON m.doc_id = tb.doc_id""".stripMargin,
+      // mirrors q_repetition's planted line repetition and
+      // Corpus.repetitionSignals: dup-line fractions count OCCURRENCES
+      // in groups of size > 1; top-gram shares use the shingle
+      // convention (docs shorter than n tokens yield one whole-text
+      // gram); Spark SQL split (limit -1) and DuckDB string_split both
+      // KEEP trailing empty fields, so line sets agree byte-for-byte
+      "q_repetition" ->
+        """WITH aug AS (SELECT doc_id, text
+          |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || text ELSE '' END
+          |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Repeated filler line'
+          |       || chr(10) || 'Repeated filler line' ELSE '' END AS text2
+          |FROM documents),
+          |ln AS (SELECT doc_id, unnest(string_split(text2, chr(10))) AS line
+          |  FROM aug),
+          |lg AS (SELECT doc_id, line, count(*) AS c,
+          |    CAST(length(line) AS BIGINT) AS l FROM ln GROUP BY 1, 2),
+          |lm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+          |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+          |    / sum(c), 6) AS dup_line_frac,
+          |  round(CASE WHEN sum(c * l) = 0 THEN 0.0
+          |    ELSE CAST(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS DOUBLE)
+          |      / sum(c * l) END, 6) AS dup_line_char_frac
+          |  FROM lg GROUP BY 1),
+          |tk AS (SELECT doc_id,
+          |  string_split_regex(trim(lower(text2)),'\s+') AS t FROM aug),
+          |g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) < 3
+          |    THEN [array_to_string(t, ' ')]
+          |    ELSE list_transform(generate_series(1, len(t) - 2),
+          |           i -> array_to_string(t[i:i+2], ' ')) END) AS g FROM tk),
+          |t3 AS (SELECT doc_id,
+          |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_3gram_frac
+          |  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+          |  GROUP BY 1),
+          |g4 AS (SELECT doc_id, unnest(CASE WHEN len(t) < 4
+          |    THEN [array_to_string(t, ' ')]
+          |    ELSE list_transform(generate_series(1, len(t) - 3),
+          |           i -> array_to_string(t[i:i+3], ' ')) END) AS g FROM tk),
+          |t4 AS (SELECT doc_id,
+          |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_4gram_frac
+          |  FROM (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2)
+          |  GROUP BY 1)
+          |SELECT lm.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+          |  top_3gram_frac, top_4gram_frac,
+          |  (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2
+          |   AND top_3gram_frac <= 0.18 AND top_4gram_frac <= 0.16)
+          |    AS keep_rep
+          |FROM lm JOIN t3 USING (doc_id) JOIN t4 USING (doc_id)"""
+          .stripMargin,
+      // mirrors q_ngram_contam: distinct hashed 8-gram sets per train
+      // doc, left-joined against the eval corpus's distinct gram set —
+      // the portable hash rides the gram string exactly as in the other
+      // sketch oracles
+      "q_ngram_contam" ->
+        s"""WITH trt AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)),'\\s+') AS t
+           |  FROM documents WHERE doc_id % 5 <> 0),
+           |evt AS (SELECT string_split_regex(trim(lower(text)),'\\s+') AS t
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |trg AS (SELECT DISTINCT doc_id, ${ph("g")} AS gh FROM (
+           |  SELECT doc_id, unnest(CASE WHEN len(t) < 8
+           |    THEN [array_to_string(t, ' ')]
+           |    ELSE list_transform(generate_series(1, len(t) - 7),
+           |           i -> array_to_string(t[i:i+7], ' ')) END) AS g
+           |  FROM trt)),
+           |evg AS (SELECT DISTINCT ${ph("g")} AS gh FROM (
+           |  SELECT unnest(CASE WHEN len(t) < 8
+           |    THEN [array_to_string(t, ' ')]
+           |    ELSE list_transform(generate_series(1, len(t) - 7),
+           |           i -> array_to_string(t[i:i+7], ' ')) END) AS g
+           |  FROM evt))
+           |SELECT trg.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(count(evg.gh) AS BIGINT) AS n_hits,
+           |  round(CAST(count(evg.gh) AS DOUBLE) / count(*), 6) AS hit_frac,
+           |  (count(evg.gh) >= 1) AS contaminated
+           |FROM trg LEFT JOIN evg ON trg.gh = evg.gh
+           |GROUP BY 1""".stripMargin,
       // mirrors q_pii_redact's planted PII and Text.redactPii's
       // email-then-IP order; patterns are the RE2/Java common subset
       "q_pii_redact" ->

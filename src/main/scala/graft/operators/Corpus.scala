@@ -221,4 +221,83 @@ object Corpus {
       label.as("split"),
     )
   }
+
+  /** Within-document repetition signals (the Gopher repetition filters,
+    * Rae et al. 2021 Table A1) — the half of the quality family that
+    * [[qualitySignals]] does not cover: machine-generated and templated
+    * text repeats itself *within* a document long before it looks bad on
+    * corpus-level statistics. Per doc:
+    *
+    *   - `n_lines`            lines after splitting on '\n'
+    *   - `dup_line_frac`      occurrences in line-groups of size > 1
+    *                          over total lines (a line appearing twice
+    *                          contributes BOTH occurrences — the "how
+    *                          much of the doc is self-copied" reading)
+    *   - `dup_line_char_frac` same, weighted by line length in chars
+    *   - `top_3gram_frac`     share of the most frequent word 3-gram
+    *   - `top_4gram_frac`     share of the most frequent word 4-gram
+    *   - `keep_rep`           all four under their thresholds (defaults
+    *                          are Gopher's published cutoffs)
+    *
+    * Scale shape: three independent doc-keyed two-level aggregates
+    * ((doc, line), (doc, 3gram), (doc, 4gram)) — each partial-aggregates
+    * map-side so a doc-internal hot line/gram collapses before the wire,
+    * and every shuffle key includes the doc id, so no corpus-hot key
+    * exists. Joins between the three are doc-id equi-joins that reuse
+    * the aggregates' hash partitioning. Ratios are rounded to 6 decimals
+    * (the cross-engine convention).
+    */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxTop3gramFrac: Double = 0.18,
+      maxTop4gramFrac: Double = 0.16,
+  ): DataFrame = {
+    val lines = docs.select(
+      col(idCol).as("id"),
+      explode(split(col(textCol), "\n")).as("line"),
+    )
+    val lineStats = lines
+      .groupBy("id", "line")
+      .agg(count(lit(1)).as("c"))
+      .select(col("id"), col("c"), (col("c") * length(col("line"))).as("ch"))
+      .groupBy("id")
+      .agg(
+        sum("c").as("n_lines"),
+        round(
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double")
+            / sum("c"),
+          6,
+        ).as("dup_line_frac"),
+        round(
+          when(sum("ch") === 0, 0.0).otherwise(
+            sum(when(col("c") > 1, col("ch")).otherwise(0L)).cast("double")
+              / sum("ch")
+          ),
+          6,
+        ).as("dup_line_char_frac"),
+      )
+    def topGramFrac(n: Int, outCol: String) = docs
+      .select(
+        col(idCol).as("id"),
+        explode(Text.shingles(col(textCol), n)).as("g"),
+      )
+      .groupBy("id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as(outCol))
+    lineStats
+      .join(topGramFrac(3, "top_3gram_frac"), Seq("id"))
+      .join(topGramFrac(4, "top_4gram_frac"), Seq("id"))
+      .select(
+        col("*"),
+        (col("dup_line_frac") <= maxDupLineFrac &&
+          col("dup_line_char_frac") <= maxDupLineCharFrac &&
+          col("top_3gram_frac") <= maxTop3gramFrac &&
+          col("top_4gram_frac") <= maxTop4gramFrac).as("keep_rep"),
+      )
+  }
 }

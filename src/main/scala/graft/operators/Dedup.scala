@@ -545,6 +545,66 @@ object Dedup {
       )
   }
 
+  /** Exact n-gram decontamination (the GPT-3 appendix-C / PaLM style
+    * check, complementing [[crossCorpusContamination]]'s near-dup
+    * variant): a train document is contaminated when `minHits` or more
+    * of its DISTINCT word n-grams appear anywhere in the eval corpus.
+    * Where the minhash variant asks "is some eval doc mostly this doc?",
+    * the n-gram variant catches verbatim *fragments* — an embedded eval
+    * question inside an otherwise-unrelated train doc never clears a
+    * whole-doc Jaccard threshold but lights up here.
+    *
+    * Returns one row per train doc: (id, n_grams, n_hits, hit_frac,
+    * contaminated), hit_frac rounded to 6 decimals over distinct grams.
+    *
+    * Scale shape: grams are hashed to 64 bits (`hash`, the pluggable
+    * sketch hash) so the join ships fixed-width longs, never gram text;
+    * per-doc distinct collapses at the (id, gram) aggregate (map-side
+    * partial — a doc-internal hot gram never reaches the wire); the
+    * eval side reduces to a DISTINCT hash set, orders of magnitude
+    * smaller than the train corpus for any real benchmark suite, so the
+    * hit join broadcasts it (an eval suite of even 10M distinct grams
+    * is ~80 MB — fine; for an abnormally large eval side pass
+    * `broadcastEval = false` and the join shuffles on the gram hash).
+    * Docs shorter than n tokens contribute their single whole-text
+    * shingle — the [[graft.functions.Text.shingles]] convention.
+    */
+  def ngramContamination(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minHits: Int = 1,
+      broadcastEval: Boolean = true,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    require(n >= 1, "n >= 1")
+    require(minHits >= 1, "minHits >= 1")
+    def grams(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      explode(Text.shingles(col(textCol), n)).as("g"),
+    ).select(col("id"), hash.one(col("g")).as("gh"))
+    val trainGrams = grams(train).groupBy("id", "gh").agg(count(lit(1)))
+      .select("id", "gh")
+    val evalSet = grams(evalDocs).select("gh").distinct()
+    val evalSide = if (broadcastEval) broadcast(evalSet) else evalSet
+    trainGrams
+      .join(evalSide.select(col("gh"), lit(1L).as("hit")), Seq("gh"),
+        "left_outer")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+      )
+      .select(
+        col("id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 6)
+          .as("hit_frac"),
+        (col("n_hits") >= minHits).as("contaminated"),
+      )
+  }
+
   /** Cross-document boilerplate LINE removal (the line-dedup pass of
     * C4 / RefinedWeb-style cleaning, Penedo et al. 2023): a line whose
     * exact content appears in at least `minDocs` DISTINCT documents is

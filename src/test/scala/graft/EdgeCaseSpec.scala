@@ -120,6 +120,49 @@ class EdgeCaseSpec extends GraftSuite {
     }
   }
 
+  test("repetitionSignals matches a plain-Scala oracle on random docs") {
+    import graft.operators.Corpus
+    for (seed <- Seq(11, 29)) {
+      val r = new scala.util.Random(seed)
+      val stock = Seq("aa bb", "cc", "dd ee ff", "aa", "bb cc")
+      val docs = (0 until 30).map { i =>
+        val n = 1 + r.nextInt(6)
+        (i.toLong, (0 until n).map(_ => stock(r.nextInt(stock.size)))
+          .mkString("\n"))
+      }
+      val got = Corpus
+        .repetitionSignals(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(row => row.getLong(0) ->
+          (row.getLong(1), row.getDouble(2), row.getDouble(3),
+            row.getDouble(4), row.getDouble(5), row.getBoolean(6)))
+        .toMap
+      docs.foreach { case (id, text) =>
+        val ls = text.split("\n", -1) // Spark SQL split keeps empties
+        val groups = ls.groupBy(identity).map(_._2.length)
+        val dup = groups.filter(_ > 1).sum
+        val dupCh = ls.groupBy(identity).map { case (l, xs) =>
+          if (xs.length > 1) xs.length.toLong * l.length else 0L
+        }.sum
+        val totCh = ls.map(_.length.toLong).sum
+        def topGram(n: Int): Double = {
+          val toks = text.trim.toLowerCase.split("\\s+")
+          val gs = if (toks.length < n) Seq(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+          rd6(gs.groupBy(identity).map(_._2.size).max.toDouble / gs.size)
+        }
+        val dlf = rd6(dup.toDouble / ls.length)
+        val dlcf = if (totCh == 0) 0.0 else rd6(dupCh.toDouble / totCh)
+        val t3 = topGram(3)
+        val t4 = topGram(4)
+        val keep = dlf <= 0.30 && dlcf <= 0.20 && t3 <= 0.18 && t4 <= 0.16
+        assert(
+          got(id) == ((ls.length.toLong, dlf, dlcf, t3, t4, keep)),
+          s"seed $seed doc $id '$text': ${got(id)}")
+      }
+    }
+  }
+
   test("dropBoilerplateLines matches a plain-Scala oracle on random docs") {
     def sha(s: String) =
       java.security.MessageDigest.getInstance("SHA-256")

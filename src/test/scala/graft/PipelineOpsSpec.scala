@@ -663,6 +663,54 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got(2L) == ((6L, 3.666667, 1.0, 0.2, true)))
   }
 
+  test("repetition signals match hand-computed fractions and keep flag") {
+    import graft.operators.Corpus
+    val df = Seq(
+      // lines: "aa bb" x2 + "cc dd" -> dup_line_frac 2/3, char frac 10/15;
+      // 6 tokens -> 4 distinct 3-grams (top 1/4), 3 distinct 4-grams
+      (1L, "aa bb\naa bb\ncc dd"),
+      // one line, all-distinct tokens: 2 3-grams (top 1/2), 1 4-gram
+      (2L, "xx yy zz ww"),
+      // alternating tokens: 6 3-grams, top "a b a" x3 -> 0.5; 5 4-grams,
+      // top "a b a b" x3 -> 0.6; no line repetition
+      (3L, "a b a b a b a b"),
+    ).toDF("doc_id", "text")
+    val got = Corpus.repetitionSignals(df, "doc_id", "text",
+      maxDupLineFrac = 0.7, maxDupLineCharFrac = 0.7,
+      maxTop3gramFrac = 0.5, maxTop4gramFrac = 0.7)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    assert(got(1L) ==
+      ((3L, 0.666667, 0.666667, 0.25, 0.333333, true)))
+    assert(got(2L) == ((1L, 0.0, 0.0, 0.5, 1.0, false))) // 4-gram 1.0 > 0.7
+    assert(got(3L) == ((1L, 0.0, 0.0, 0.5, 0.6, true)))
+  }
+
+  test("ngram contamination flags verbatim fragments, not whole docs") {
+    // train 1 embeds ONE eval 4-gram inside otherwise-unrelated text —
+    // exactly the leak the whole-doc Jaccard variant cannot see
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words with no overlap present here"),
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (9L, "question says beta gamma delta epsilon answer is four"),
+    ).toDF("doc_id", "text")
+    def run(bcast: Boolean) = Dedup.ngramContamination(
+      train, evalDocs, "doc_id", "text", n = 4, broadcastEval = bcast)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val got = run(bcast = true)
+    assert(got(1L) == ((5L, 1L, 0.2, true)), s"$got")
+    assert(got(2L) == ((5L, 0L, 0.0, false)), s"$got")
+    assert(run(bcast = false) == got, "shuffled-join path must agree")
+  }
+
   test("pii: counts and redaction handle email-vs-ip precedence") {
     val df = Seq(
       (1L, "mail a.user@example.com and host 10.1.2.3 end"),

@@ -246,6 +246,40 @@ class PlanShapeSpec extends GraftSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("repetition signals: three doc-keyed aggregate branches, codegen") {
+    val df = spark.range(400)
+      .select((col("id") % 1000).as("doc_id"),
+        concat(lit("w"), (col("id") % 7).cast("string"),
+          lit(" x y\nw x y")).as("text"))
+    val plan = graft.operators.Corpus
+      .repetitionSignals(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // each branch is a two-level aggregate — (doc,line)/(doc,3g)/(doc,4g)
+    // then per-doc — so 2 exchanges x 3 branches; the doc-id joins must
+    // reuse the final aggregates' hash(id) partitioning (a 7th exchange
+    // means a join stopped being key-local)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 6, s"expected 6 shuffles, got $shuffles:\n$plan")
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
+  test("ngram contamination: eval gram set broadcasts, never shuffles") {
+    val df = spark.range(300)
+      .select((col("id") % 1000).as("doc_id"),
+        concat(lit("tok "), (col("id") % 11).cast("string"),
+          lit(" a b c d")).as("text"))
+    val plan = graft.operators.Dedup
+      .ngramContamination(df, df.limit(30), "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    // the hit join must be a broadcast of the eval DISTINCT-gram set —
+    // the train side (the 100 TB side) never reshuffles for it; the only
+    // hash exchanges are the train (id,gh) distinct, the per-id rollup,
+    // and the eval-side distinct
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"expected <=3 shuffles, got $shuffles:\n$plan")
+  }
+
   test("line dedup: doc reassembly takes exactly one grouping exchange") {
     val df = spark.range(200)
       .select((col("id") % 1000).as("doc_id"),
