@@ -163,6 +163,39 @@ class EdgeCaseSpec extends GraftSuite {
     }
   }
 
+  test("ngramContamination matches a plain-Scala oracle on random docs") {
+    for (seed <- Seq(13, 31)) {
+      val r = new scala.util.Random(seed)
+      val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+      def doc() = (0 until (3 + r.nextInt(10)))
+        .map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+      val train = (0 until 25).map(i => (i.toLong, doc()))
+      val evalDocs = (100 until 110).map(i => (i.toLong, doc()))
+      val n = 3
+      val got = graft.operators.Dedup
+        .ngramContamination(train.toDF("doc_id", "text"),
+          evalDocs.toDF("doc_id", "text"), "doc_id", "text", n = n)
+        .collect()
+        .map(row => row.getLong(0) ->
+          (row.getLong(1), row.getLong(2), row.getDouble(3),
+            row.getBoolean(4)))
+        .toMap
+      def gramsOf(text: String): Set[String] = {
+        val toks = text.trim.toLowerCase.split("\\s+")
+        if (toks.length < n) Set(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val evalSet = evalDocs.flatMap(d => gramsOf(d._2)).toSet
+      train.foreach { case (id, text) =>
+        val gs = gramsOf(text)
+        val hits = gs.count(evalSet)
+        val want = (gs.size.toLong, hits.toLong,
+          rd6(hits.toDouble / gs.size), hits >= 1)
+        assert(got(id) == want, s"seed $seed doc $id '$text': ${got(id)}")
+      }
+    }
+  }
+
   test("dropBoilerplateLines matches a plain-Scala oracle on random docs") {
     def sha(s: String) =
       java.security.MessageDigest.getInstance("SHA-256")
