@@ -312,6 +312,27 @@ object SparkEntry {
           col("dup_line_frac"), col("dup_line_char_frac"),
           col("top_3gram_frac"), col("top_4gram_frac"), col("keep_rep"))
     },
+    // source-level reputation (the URL/domain-blocklist stage of C4 /
+    // RefinedWeb pipelines, over the corpus's source column): the
+    // doc-level quality gate aggregated per source; sources whose keep
+    // rate is under the threshold are dropped wholesale. A pure
+    // composition — qualitySignals → per-source aggregate — whose
+    // result is a broadcastable dimension at any corpus scale (source/
+    // domain cardinality ≪ doc cardinality)
+    "q_source_rep" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val q = operators.Corpus.qualitySignals(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"), col("keep"))
+      docs.select(col("doc_id"), col("source"))
+        .join(q, Seq("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("keep").cast("double")), 6).as("keep_frac"),
+          round(avg(col("n_words").cast("double")), 6).as("mean_words"),
+        )
+        .select(col("*"), (col("keep_frac") >= 0.25).as("keep_source"))
+    },
     // exact n-gram decontamination: same parity train/eval split as
     // q_contamination; the corpus's exact-duplicate groups guarantee
     // cross-split verbatim overlap, so both flag branches occur
@@ -1251,6 +1272,35 @@ object SparkEntry {
           |    AS keep_rep
           |FROM lm JOIN t3 USING (doc_id) JOIN t4 USING (doc_id)"""
           .stripMargin,
+      // mirrors q_source_rep: the q_quality gate aggregated per source
+      "q_source_rep" ->
+        """WITH tk AS (SELECT doc_id, source,
+          |  string_split_regex(trim(lower(text)),'\s+') AS t FROM documents),
+          |m AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_words,
+          |  round(CAST(length(array_to_string(t, '')) AS DOUBLE)
+          |    / len(t), 6) AS mean_word_len,
+          |  round(CAST(len(list_distinct(t)) AS DOUBLE)
+          |    / len(t), 6) AS distinct_word_frac FROM tk),
+          |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2
+          |    THEN [array_to_string(t, ' ')]
+          |    ELSE list_transform(generate_series(1, len(t) - 1),
+          |           i -> array_to_string(t[i:i+1], ' ')) END) AS g FROM tk),
+          |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+          |tb AS (SELECT doc_id,
+          |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+          |FROM bgc GROUP BY 1),
+          |k AS (SELECT m.source, n_words,
+          |  (n_words >= 30 AND mean_word_len >= 4.3 AND mean_word_len <= 4.7
+          |   AND distinct_word_frac >= 0.4 AND top_bigram_frac <= 0.05)
+          |    AS keep
+          |FROM m JOIN tb ON m.doc_id = tb.doc_id),
+          |sr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_frac,
+          |  round(avg(CAST(n_words AS DOUBLE)), 6) AS mean_words
+          |FROM k GROUP BY 1)
+          |SELECT source, n_docs, keep_frac, mean_words,
+          |  (keep_frac >= 0.25) AS keep_source
+          |FROM sr""".stripMargin,
       // mirrors q_ngram_contam: distinct hashed 8-gram sets per train
       // doc, left-joined against the eval corpus's distinct gram set —
       // the portable hash rides the gram string exactly as in the other
