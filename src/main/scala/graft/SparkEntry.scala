@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{LabelProp, PageRank, Triangles, Wcc}
+import graft.algos.{KCore, LabelProp, PageRank, Ppr, Triangles, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
@@ -108,6 +108,30 @@ object SparkEntry {
     "q_labelprop_sizes" -> { (s, d) =>
       LabelProp.run(partEdgeDs(s, d), LpConfig(iterations = 3)).toDF()
         .groupBy("label").agg(count(lit(1)).as("cnt"))
+    },
+    // personalized PageRank: walk-with-restart into the vid%10==0 seed
+    // set, 8 fixed supersteps, same rank_e7 quantization contract as
+    // q_pagerank_top20 (see that query's comment)
+    "q_ppr_top20" -> { (s, d) =>
+      val edges = partEdgeDs(s, d)
+      val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
+      Ppr.run(edges, seeds, PrConfig(tol = 0.0, maxIter = 8))
+        .ranks.toDF()
+        .select(
+          col("vid"),
+          round(col("rank") * 1e7, 0).cast("long").as("rank_e7"),
+        )
+        .orderBy(col("rank_e7").desc, col("vid"))
+        .limit(20)
+    },
+    // k=3 core of the REPEAT-co-occurrence subgraph (edges with weight
+    // >= 2, i.e. parts that co-occurred in at least two orders): the
+    // full co-occurrence graph is min-degree ~49 and its 3-core is
+    // trivially everything, while the weight>=2 subgraph peels for real
+    // (sf0.01: 935 of 1880 vertices survive after 10 synchronous
+    // rounds — measured, well inside the oracle's 32-round unroll)
+    "q_kcore" -> { (s, d) =>
+      KCore.run(partEdgeDs(s, d).filter(col("weight") >= 2.0), k = 3).core
     },
     // ---- relational / SPARQL-algebra layer (P/J/G/W/O/U) ----
     "q1_agg" -> { (s, d) =>
@@ -722,6 +746,69 @@ object SparkEntry {
            |FROM r8
            |ORDER BY CAST(round(rank * 1e7) AS BIGINT) DESC, vid
            |LIMIT 20""".stripMargin,
+      // personalized PageRank — same unrolled-superstep form as
+      // q_pagerank_top20, with the teleport AND the dangling mass
+      // returning to the vid%10==0 seed set (reset vector) instead of
+      // the uniform vector; rank0 = reset (DuckDB `/` on DECIMAL
+      // yields DOUBLE, same as the global-PR oracle's 1.0/n)
+      "q_ppr_top20" -> {
+        def pprIter(prev: String): String =
+          s"""MATERIALIZED (
+             |  SELECT v.vid, v.outdeg, v.reset,
+             |    (1-0.85)*v.reset + 0.85 * (coalesce(msg.m, 0)
+             |      + (SELECT coalesce(sum(rank),0) FROM $prev WHERE outdeg IS NULL)
+             |        * v.reset) AS rank
+             |  FROM v LEFT JOIN (
+             |    SELECT e.dst AS vid, sum(r.rank / r.outdeg) AS m
+             |    FROM e JOIN $prev r ON e.src = r.vid GROUP BY 1
+             |  ) msg ON v.vid = msg.vid
+             |)""".stripMargin
+        val chain = (1 to 8)
+          .map(i => s"p$i AS ${pprIter(s"p${i - 1}")}")
+          .mkString(",\n")
+        s"""WITH $edgesCte,
+           |deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1),
+           |verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+           |ns AS (SELECT count(*) AS n FROM verts WHERE vid % 10 = 0),
+           |v AS (SELECT verts.vid, deg.outdeg,
+           |  CASE WHEN verts.vid % 10 = 0
+           |    THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS reset
+           |  FROM verts LEFT JOIN deg USING (vid)),
+           |p0 AS MATERIALIZED (
+           |  SELECT vid, outdeg, reset, reset AS rank FROM v),
+           |$chain
+           |SELECT vid, CAST(round(rank * 1e7) AS BIGINT) AS rank_e7
+           |FROM p8
+           |ORDER BY CAST(round(rank * 1e7) AS BIGINT) DESC, vid
+           |LIMIT 20""".stripMargin
+      },
+      // k-core (k=3) via unrolled synchronous peeling rounds: a round
+      // deactivates every vertex with < 3 still-active neighbors; a
+      // fixpoint is stable, so unrolling PAST convergence is harmless —
+      // 32 rounds covers every sf corpus with slack (KCoreSpec pins the
+      // engine's measured round count under the unroll budget)
+      "q_kcore" -> {
+        def kcIter(prev: String, i: Int): String =
+          s"""a$i AS MATERIALIZED (
+             |  SELECT v.vid, v.active AND coalesce(d.c, 0) >= 3 AS active
+             |  FROM $prev v LEFT JOIN (
+             |    SELECT s.dst AS vid, count(*) AS c
+             |    FROM sym s JOIN $prev u ON s.src = u.vid AND u.active
+             |    GROUP BY 1
+             |  ) d ON v.vid = d.vid
+             |)""".stripMargin
+        val chain = (1 to 32)
+          .map(i => kcIter(s"a${i - 1}", i))
+          .mkString(",\n")
+        s"""WITH $edgesCte,
+           |e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE weight >= 2),
+           |sym AS MATERIALIZED (SELECT src, dst FROM e2
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
+           |verts AS (SELECT DISTINCT src AS vid FROM sym),
+           |a0 AS MATERIALIZED (SELECT vid, TRUE AS active FROM verts),
+           |$chain
+           |SELECT vid FROM a32 WHERE active""".stripMargin
+      },
       "q_tri_pervertex" ->
         s"""WITH $edgesCte,
            |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c

@@ -153,4 +153,86 @@ object Oracles {
     }
     (global, verts.map(v => v -> per(v)).toMap)
   }
+
+  /** Dense personalized PageRank: teleport AND dangling mass return to
+    * the seed set (reset vector, 1/|S| each); rank0 = reset. Mirrors
+    * [[graft.algos.Ppr]]'s Scaladoc semantics exactly.
+    */
+  def ppr(
+      edges: Seq[(Long, Long, Double)],
+      sources: Set[Long],
+      cfg: PrConfig,
+  ): Map[Long, Double] = {
+    val verts = verticesOf(edges)
+    val n = verts.length
+    val idx = verts.zipWithIndex.toMap
+    val outW = new Array[Double](n)
+    val outDeg = new Array[Int](n)
+    edges.foreach { case (s, _, w) =>
+      outW(idx(s)) += w; outDeg(idx(s)) += 1
+    }
+    val inS = verts.map(v => sources.contains(v))
+    val nS = inS.count(identity)
+    require(nS > 0, "oracle ppr needs a non-empty seed set")
+    val reset = verts.indices.map(i => if (inS(i)) 1.0 / nS else 0.0)
+    val d = cfg.damping
+    var rank = reset.toArray
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < cfg.maxIter && delta > cfg.tol) {
+      val msg = new Array[Double](n)
+      edges.foreach { case (s, t, w) =>
+        val si = idx(s)
+        val share =
+          if (cfg.weighted) w / outW(si) else 1.0 / outDeg(si)
+        msg(idx(t)) += rank(si) * share
+      }
+      var dm = 0.0
+      var i = 0
+      while (i < n) { if (outDeg(i) == 0) dm += rank(i); i += 1 }
+      val next = new Array[Double](n)
+      delta = 0.0
+      i = 0
+      while (i < n) {
+        next(i) = (1.0 - d) * reset(i) + d * (msg(i) + dm * reset(i))
+        val dd = math.abs(next(i) - rank(i))
+        if (dd > delta) delta = dd
+        i += 1
+      }
+      rank = next
+      iter += 1
+    }
+    verts.map(v => v -> rank(idx(v))).toMap
+  }
+
+  /** Sequential k-core peeling (the obviously-correct order-free form:
+    * repeatedly delete ANY vertex of degree < k until none remains).
+    * Degree = distinct undirected neighbors, self-loops dropped.
+    */
+  def kcore(edges: Seq[(Long, Long, Double)], k: Int): Set[Long] = {
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (s, t, _) =>
+      if (s != t) {
+        adj.getOrElseUpdate(s, mutable.Set.empty) += t
+        adj.getOrElseUpdate(t, mutable.Set.empty) += s
+      }
+    }
+    verticesOf(edges).foreach(v =>
+      adj.getOrElseUpdate(v, mutable.Set.empty))
+    val queue = mutable.Queue.from(adj.collect {
+      case (v, ns) if ns.size < k => v
+    })
+    val dead = mutable.Set.empty[Long]
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      if (!dead.contains(v)) {
+        dead += v
+        adj(v).foreach { u =>
+          adj(u) -= v
+          if (adj(u).size < k && !dead.contains(u)) queue += u
+        }
+      }
+    }
+    adj.keySet.toSet -- dead
+  }
 }
