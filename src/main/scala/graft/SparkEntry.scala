@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{KCore, LabelProp, PageRank, Ppr, Triangles, Wcc}
+import graft.algos.{Bfs, KCore, LabelProp, PageRank, Ppr, Triangles, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
@@ -132,6 +132,36 @@ object SparkEntry {
     // rounds — measured, well inside the oracle's 32-round unroll)
     "q_kcore" -> { (s, d) =>
       KCore.run(partEdgeDs(s, d).filter(col("weight") >= 2.0), k = 3).core
+    },
+    // multi-source BFS hop distance from the vid%10==0 seed set over the
+    // same weight>=2 subgraph (the full graph has diameter ~2; the
+    // subgraph reaches hop 5-7 with genuinely unreachable vertices —
+    // sf0.1: 1628 of 5922 reached, max hop 7, measured; the oracle
+    // unrolls 16 relaxation rounds, 2x slack)
+    "q_bfs_hops" -> { (s, d) =>
+      val edges = partEdgeDs(s, d).filter(col("weight") >= 2.0)
+      val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
+      Bfs.run(edges, seeds).dists
+    },
+    // composed analytics: global clustering coefficient = 3T / wedges
+    // over the simple undirected graph — triangle machinery + the degree
+    // aggregate in one row; cc quantized e7 like the rank queries
+    "q_clustering" -> { (s, d) =>
+      val edges = partEdgeDs(s, d)
+      val tri = Triangles.globalCount(edges)
+      val e = partEdges(s, d)
+      e.select(col("src").as("vid"))
+        .unionByName(e.select(col("dst").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("deg"))
+        .agg(sum(col("deg") * (col("deg") - 1L)).as("w2"))
+        .select(
+          lit(tri).as("triangles"),
+          (col("w2") / 2).cast("long").as("wedges"),
+          when(
+            col("w2") > 0,
+            round(lit(6.0) * tri / col("w2") * 1e7, 0).cast("long"),
+          ).as("cc_e7"),
+        )
     },
     // ---- relational / SPARQL-algebra layer (P/J/G/W/O/U) ----
     "q1_agg" -> { (s, d) =>
@@ -809,6 +839,52 @@ object SparkEntry {
            |$chain
            |SELECT vid FROM a32 WHERE active""".stripMargin
       },
+      // multi-source BFS — unrolled min-relaxation rounds (a different
+      // but fixpoint-equivalent algorithm to the engine's frontier BFS:
+      // hop distance is an order-free min over path lengths); 16 rounds
+      // cover the measured max hop 7 with 2x slack; unreached vertices
+      // (dist NULL at the fixpoint) are excluded on both sides
+      "q_bfs_hops" -> {
+        def bfsIter(prev: String, i: Int): String =
+          s"""n$i AS MATERIALIZED (
+             |  SELECT s.dst AS vid, min(p.dist) + 1 AS nd
+             |  FROM sym s JOIN $prev p ON s.src = p.vid
+             |  WHERE p.dist IS NOT NULL GROUP BY s.dst),
+             |d$i AS MATERIALIZED (
+             |  SELECT v.vid,
+             |    CASE WHEN v.dist IS NULL THEN n.nd
+             |         WHEN n.nd IS NULL THEN v.dist
+             |         ELSE least(v.dist, n.nd) END AS dist
+             |  FROM d${i - 1} v LEFT JOIN n$i n USING (vid))""".stripMargin
+        val chain = (1 to 16).map(i => bfsIter(s"d${i - 1}", i)).mkString(",\n")
+        s"""WITH $edgesCte,
+           |e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE weight >= 2),
+           |sym AS MATERIALIZED (SELECT src, dst FROM e2
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
+           |verts AS (SELECT DISTINCT src AS vid FROM sym),
+           |d0 AS MATERIALIZED (SELECT vid,
+           |  CASE WHEN vid % 10 = 0 THEN CAST(0 AS BIGINT) END AS dist
+           |  FROM verts),
+           |$chain
+           |SELECT vid, dist FROM d16 WHERE dist IS NOT NULL""".stripMargin
+      },
+      // global clustering coefficient: cc = 3T/wedges = 6T/sum(deg*(deg-1));
+      // the double division is performed with IDENTICAL operand order on
+      // both engines ((6.0*T)/w2*1e7) so the e7 quantization agrees
+      "q_clustering" ->
+        s"""WITH $edgesCte,
+           |tri AS (SELECT count(*) AS t FROM e e1
+           |        JOIN e e2 ON e1.dst = e2.src
+           |        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+           |u AS (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e),
+           |deg AS (SELECT vid, count(*) AS deg FROM u GROUP BY 1),
+           |w AS (SELECT sum(deg * (deg - 1)) AS w2 FROM deg)
+           |SELECT (SELECT t FROM tri) AS triangles,
+           |  CAST(w2 / 2 AS BIGINT) AS wedges,
+           |  CASE WHEN w2 > 0 THEN
+           |    CAST(round(6.0 * (SELECT t FROM tri) / w2 * 1e7) AS BIGINT)
+           |  END AS cc_e7
+           |FROM w""".stripMargin,
       "q_tri_pervertex" ->
         s"""WITH $edgesCte,
            |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c

@@ -205,6 +205,32 @@ object Oracles {
     verts.map(v => v -> rank(idx(v))).toMap
   }
 
+  /** Undirected multi-source BFS hop distance; reached vertices only. */
+  def bfs(
+      edges: Seq[(Long, Long, Double)],
+      sources: Set[Long],
+  ): Map[Long, Long] = {
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (s, t, _) =>
+      if (s != t) {
+        adj.getOrElseUpdate(s, mutable.Set.empty) += t
+        adj.getOrElseUpdate(t, mutable.Set.empty) += s
+      }
+    }
+    // vertex universe = endpoints of non-self-loop edges (self-loop-only
+    // vertices vanish from the engine's symmetrized graph too)
+    val dist = mutable.Map.empty[Long, Long]
+    val queue = mutable.Queue.empty[Long]
+    sources.intersect(adj.keySet).foreach { s => dist(s) = 0L; queue += s }
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      adj.getOrElse(v, Set.empty).foreach { u =>
+        if (!dist.contains(u)) { dist(u) = dist(v) + 1; queue += u }
+      }
+    }
+    dist.toMap
+  }
+
   /** Sequential k-core peeling (the obviously-correct order-free form:
     * repeatedly delete ANY vertex of degree < k until none remains).
     * Degree = distinct undirected neighbors, self-loops dropped.
