@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, KCore, LabelProp, PageRank, Ppr, Triangles, Wcc}
+import graft.algos.{Bfs, KCore, LabelProp, PageRank, Ppr, Sssp, Triangles, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
@@ -142,6 +142,18 @@ object SparkEntry {
       val edges = partEdgeDs(s, d).filter(col("weight") >= 2.0)
       val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
       Bfs.run(edges, seeds).dists
+    },
+    // weighted shortest path (delta Bellman-Ford) from the same seed set
+    // over the same weight>=2 subgraph: min total co-occurrence weight.
+    // Engine fixpoint measured via AlgoProbe: 3/6/8 rounds at
+    // sf0.001/0.01/0.1 (maxDist 4/10/14) — the 16-round unrolled oracle
+    // carries 2x slack. Weights are integral counts, so distances are
+    // exact integers in a double → cast BIGINT is lossless on both sides.
+    "q_sssp_cost" -> { (s, d) =>
+      val edges = partEdgeDs(s, d).filter(col("weight") >= 2.0)
+      val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
+      Sssp.run(edges, seeds).dists
+        .select(col("vid"), col("dist").cast("long").as("dist"))
     },
     // composed analytics: global clustering coefficient = 3T / wedges
     // over the simple undirected graph — triangle machinery + the degree
@@ -867,6 +879,38 @@ object SparkEntry {
            |  FROM verts),
            |$chain
            |SELECT vid, dist FROM d16 WHERE dist IS NOT NULL""".stripMargin
+      },
+      // weighted SSSP — unrolled min-relaxation rounds over the weight-
+      // merged symmetric graph (fixpoint-equivalent to the engine's delta
+      // Bellman-Ford: min total weight over paths is order-free, and with
+      // integral weights every distance is an exact integer); 16 rounds
+      // cover the measured max 8 with 2x slack
+      "q_sssp_cost" -> {
+        def ssspIter(prev: String, i: Int): String =
+          s"""n$i AS MATERIALIZED (
+             |  SELECT s.dst AS vid, min(p.dist + s.w) AS nd
+             |  FROM sym s JOIN $prev p ON s.src = p.vid
+             |  WHERE p.dist IS NOT NULL GROUP BY s.dst),
+             |d$i AS MATERIALIZED (
+             |  SELECT v.vid,
+             |    CASE WHEN v.dist IS NULL THEN n.nd
+             |         WHEN n.nd IS NULL THEN v.dist
+             |         ELSE least(v.dist, n.nd) END AS dist
+             |  FROM d${i - 1} v LEFT JOIN n$i n USING (vid))""".stripMargin
+        val chain = (1 to 16).map(i => ssspIter(s"d${i - 1}", i)).mkString(",\n")
+        s"""WITH $edgesCte,
+           |e2 AS MATERIALIZED (SELECT src, dst, weight FROM e WHERE weight >= 2),
+           |sym AS MATERIALIZED (SELECT src, dst, sum(weight) AS w FROM (
+           |        SELECT src, dst, weight FROM e2
+           |        UNION ALL SELECT dst AS src, src AS dst, weight FROM e2)
+           |        GROUP BY src, dst),
+           |verts AS (SELECT DISTINCT src AS vid FROM sym),
+           |d0 AS MATERIALIZED (SELECT vid,
+           |  CASE WHEN vid % 10 = 0 THEN CAST(0 AS DOUBLE) END AS dist
+           |  FROM verts),
+           |$chain
+           |SELECT vid, CAST(dist AS BIGINT) AS dist
+           |FROM d16 WHERE dist IS NOT NULL""".stripMargin
       },
       // global clustering coefficient: cc = 3T/wedges = 6T/sum(deg*(deg-1));
       // the double division is performed with IDENTICAL operand order on

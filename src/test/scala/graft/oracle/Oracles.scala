@@ -231,6 +231,46 @@ object Oracles {
     dist.toMap
   }
 
+  /** Undirected multi-source Dijkstra (min total weight); reached only.
+    * Weights merged per undirected pair like the engine's symmetrize
+    * (w(u,v) + w(v,u) when both directions exist).
+    */
+  def sssp(
+      edges: Seq[(Long, Long, Double)],
+      sources: Set[Long],
+  ): Map[Long, Double] = {
+    val w = mutable.Map.empty[(Long, Long), Double]
+    edges.foreach { case (s, t, ew) =>
+      if (s != t) {
+        w((s, t)) = w.getOrElse((s, t), 0.0) + ew
+        w((t, s)) = w.getOrElse((t, s), 0.0) + ew
+      }
+    }
+    val adj = mutable.Map.empty[Long, mutable.Map[Long, Double]]
+    w.foreach { case ((s, t), ew) =>
+      adj.getOrElseUpdate(s, mutable.Map.empty)(t) = ew
+    }
+    val dist = mutable.Map.empty[Long, Double]
+    val pq = mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by[(Double, Long), Double](_._1).reverse
+    )
+    sources.intersect(adj.keySet).foreach { s =>
+      dist(s) = 0.0; pq.enqueue((0.0, s))
+    }
+    while (pq.nonEmpty) {
+      val (d, v) = pq.dequeue()
+      if (d <= dist(v)) {
+        adj.getOrElse(v, Map.empty).foreach { case (u, ew) =>
+          val nd = d + ew
+          if (!dist.contains(u) || nd < dist(u)) {
+            dist(u) = nd; pq.enqueue((nd, u))
+          }
+        }
+      }
+    }
+    dist.toMap
+  }
+
   /** Sequential k-core peeling (the obviously-correct order-free form:
     * repeatedly delete ANY vertex of degree < k until none remains).
     * Degree = distinct undirected neighbors, self-loops dropped.
