@@ -101,6 +101,23 @@ object SparkEntry {
         .orderBy(col("rank_e7").desc, col("vid"))
         .limit(20)
     },
+    // weighted PageRank: scatter share = weight/Σ out-weights (engine
+    // WeightMode.NormWeighted) instead of 1/outdeg; same 8 fixed
+    // supersteps + rank_e7 quantization contract as q_pagerank_top20.
+    // Integral co-occurrence weights make nw = w/Σw the identical IEEE
+    // division on both engines; message-sum order differences are ulp
+    // noise far below the e7 grid.
+    "q_pagerank_w20" -> { (s, d) =>
+      PageRank
+        .run(partEdgeDs(s, d), PrConfig(tol = 0.0, maxIter = 8, weighted = true))
+        .ranks.toDF()
+        .select(
+          col("vid"),
+          round(col("rank") * 1e7, 0).cast("long").as("rank_e7"),
+        )
+        .orderBy(col("rank_e7").desc, col("vid"))
+        .limit(20)
+    },
     "q_wcc_sizes" -> { (s, d) =>
       Wcc.run(partEdgeDs(s, d)).comps.toDF()
         .groupBy("comp").agg(count(lit(1)).as("cnt"))
@@ -173,6 +190,45 @@ object SparkEntry {
             col("w2") > 0,
             round(lit(6.0) * tri / col("w2") * 1e7, 0).cast("long"),
           ).as("cc_e7"),
+        )
+    },
+    // composed analytics: degree assortativity (Newman 2002) — Pearson
+    // correlation of endpoint degrees over the symmetrized edge list.
+    // Every moment is an exact BIGINT (degrees are integers; per-edge
+    // products <= maxdeg^2 ~ 2.5e7, sums <= 2|E|*maxdeg^2 ~ 6e13); only
+    // the 128-bit products m*sjk and sj^2 (~1e20) need decimal/HUGEINT,
+    // cast to DOUBLE with the IDENTICAL operand order on both engines
+    // before the one e7-quantized division.
+    "q_assortativity" -> { (s, d) =>
+      val e = partEdges(s, d)
+      val deg = e.select(col("src").as("vid"))
+        .unionByName(e.select(col("dst").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("deg"))
+      val dir = e.select(col("src"), col("dst"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val dec = "decimal(38,0)"
+      dir
+        .join(deg.select(col("vid").as("src"), col("deg").as("jdeg")), "src")
+        .join(deg.select(col("vid").as("dst"), col("deg").as("kdeg")), "dst")
+        .agg(
+          count(lit(1)).as("m"),
+          sum(col("jdeg") * col("kdeg")).as("sjk"),
+          sum(col("jdeg")).as("sj"),
+          sum(col("jdeg") * col("jdeg")).as("sj2"),
+        )
+        .select(
+          col("m"), col("sjk"), col("sj"), col("sj2"),
+          when(
+            col("m").cast(dec) * col("sj2") - col("sj").cast(dec) * col("sj") =!= 0,
+            round(
+              (col("m").cast(dec) * col("sjk") - col("sj").cast(dec) * col("sj"))
+                .cast("double")
+                / (col("m").cast(dec) * col("sj2") - col("sj").cast(dec) * col("sj"))
+                  .cast("double")
+                * 1e7,
+              0,
+            ).cast("long"),
+          ).as("r_e7"),
         )
     },
     // ---- relational / SPARQL-algebra layer (P/J/G/W/O/U) ----
@@ -788,6 +844,39 @@ object SparkEntry {
            |FROM r8
            |ORDER BY CAST(round(rank * 1e7) AS BIGINT) DESC, vid
            |LIMIT 20""".stripMargin,
+      // weighted PageRank — same unrolled-superstep form with the scatter
+      // share weight/Σw; the share is parenthesized (e.weight / r.outw)
+      // so DuckDB performs the identical IEEE division the engine's CSR
+      // build precomputes (integral weights ⇒ exact operands)
+      "q_pagerank_w20" -> {
+        def prwIter(prev: String): String =
+          s"""MATERIALIZED (
+             |  SELECT v.vid, v.outw,
+             |    (1-0.85)/(SELECT n FROM nn) + 0.85 * (coalesce(msg.m, 0)
+             |      + (SELECT coalesce(sum(rank),0) FROM $prev WHERE outw IS NULL)
+             |        /(SELECT n FROM nn)) AS rank
+             |  FROM v LEFT JOIN (
+             |    SELECT e.dst AS vid, sum(r.rank * (e.weight / r.outw)) AS m
+             |    FROM e JOIN $prev r ON e.src = r.vid GROUP BY 1
+             |  ) msg ON v.vid = msg.vid
+             |)""".stripMargin
+        val chain = (1 to 8)
+          .map(i => s"w$i AS ${prwIter(s"w${i - 1}")}")
+          .mkString(",\n")
+        s"""WITH $edgesCte,
+           |degw AS (SELECT src AS vid, CAST(sum(weight) AS DOUBLE) AS outw
+           |         FROM e GROUP BY 1),
+           |verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT count(*) AS n FROM verts),
+           |v AS (SELECT verts.vid, degw.outw FROM verts LEFT JOIN degw USING (vid)),
+           |w0 AS MATERIALIZED (
+           |  SELECT vid, outw, 1.0/(SELECT n FROM nn) AS rank FROM v),
+           |$chain
+           |SELECT vid, CAST(round(rank * 1e7) AS BIGINT) AS rank_e7
+           |FROM w8
+           |ORDER BY CAST(round(rank * 1e7) AS BIGINT) DESC, vid
+           |LIMIT 20""".stripMargin
+      },
       // personalized PageRank — same unrolled-superstep form as
       // q_pagerank_top20, with the teleport AND the dangling mass
       // returning to the vid%10==0 seed set (reset vector) instead of
@@ -929,6 +1018,31 @@ object SparkEntry {
            |    CAST(round(6.0 * (SELECT t FROM tri) / w2 * 1e7) AS BIGINT)
            |  END AS cc_e7
            |FROM w""".stripMargin,
+      // degree assortativity — exact BIGINT moments over the symmetrized
+      // edge list; the two 128-bit products (m*sjk, sj*sj) go through
+      // HUGEINT (decimal(38,0) on the Spark side), then ONE double
+      // division in the identical operand order before e7 quantization
+      "q_assortativity" ->
+        s"""WITH $edgesCte,
+           |u AS (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e),
+           |deg AS (SELECT vid, count(*) AS deg FROM u GROUP BY 1),
+           |dir AS (SELECT src, dst FROM e
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e),
+           |j AS (SELECT d1.deg AS jdeg, d2.deg AS kdeg
+           |      FROM dir JOIN deg d1 ON dir.src = d1.vid
+           |      JOIN deg d2 ON dir.dst = d2.vid),
+           |mom AS (SELECT count(*) AS m,
+           |        CAST(sum(jdeg * kdeg) AS BIGINT) AS sjk,
+           |        CAST(sum(jdeg) AS BIGINT) AS sj,
+           |        CAST(sum(jdeg * jdeg) AS BIGINT) AS sj2 FROM j)
+           |SELECT m, sjk, sj, sj2,
+           |  CASE WHEN CAST(m AS HUGEINT)*sj2 - CAST(sj AS HUGEINT)*sj <> 0 THEN
+           |    CAST(round(
+           |      CAST(CAST(m AS HUGEINT)*sjk - CAST(sj AS HUGEINT)*sj AS DOUBLE)
+           |      / CAST(CAST(m AS HUGEINT)*sj2 - CAST(sj AS HUGEINT)*sj AS DOUBLE)
+           |      * 1e7) AS BIGINT)
+           |  END AS r_e7
+           |FROM mom""".stripMargin,
       "q_tri_pervertex" ->
         s"""WITH $edgesCte,
            |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
