@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, KCore, LabelProp, PageRank, Ppr, Sssp, Triangles, Wcc}
+import graft.algos.{Bfs, Eigen, KCore, LabelProp, LinkPred, Modularity, PageRank, Ppr, Sssp, Triangles, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
@@ -171,6 +171,43 @@ object SparkEntry {
       val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
       Sssp.run(edges, seeds).dists
         .select(col("vid"), col("dist").cast("long").as("dist"))
+    },
+    // eigenvector centrality: 8 L1-normalized power-iteration steps over
+    // the symmetrized graph; same e7 quantization contract as the rank
+    // queries (per-edge term is (1.0·y)/T == y/T bit-exactly — see
+    // Eigen's Scaladoc for why the normalizer divides inside the scatter)
+    "q_eigen_top20" -> { (s, d) =>
+      Eigen.run(partEdgeDs(s, d), EcConfig(iterations = 8))
+        .scores.toDF()
+        .select(
+          col("vid"),
+          round(col("score") * 1e7, 0).cast("long").as("score_e7"),
+        )
+        .orderBy(col("score_e7").desc, col("vid"))
+        .limit(20)
+    },
+    // link prediction: resource-allocation index over non-adjacent pairs
+    // (1.0/deg is a correctly-rounded IEEE division both engines produce
+    // bit-identically — the reason RA is used instead of Adamic-Adar's
+    // unportable ln); maxDeg=64 exercises the hub cap for real (the
+    // co-occurrence graph's hubs exceed it at every sf)
+    "q_linkpred" -> { (s, d) =>
+      LinkPred.resourceAllocation(partEdgeDs(s, d), maxDeg = 64)
+        .select(
+          col("src"), col("dst"), col("cn"),
+          round(col("ra") * 1e7, 0).cast("long").as("ra_e7"),
+        )
+        .orderBy(col("ra_e7").desc, col("src"), col("dst"))
+        .limit(50)
+    },
+    // modularity of the 3-iteration LP partition — the "how good are the
+    // communities" score composed from two verified pieces (LP's labels
+    // are hash-checked by q_labelprop_sizes; the metric's moments are
+    // exact integers, one double expression at the end — see Modularity)
+    "q_modularity" -> { (s, d) =>
+      val edges = partEdgeDs(s, d)
+      val labels = LabelProp.run(edges, LpConfig(iterations = 3)).toDF()
+      Modularity.of(edges, labels)
     },
     // composed analytics: global clustering coefficient = 3T / wedges
     // over the simple undirected graph — triangle machinery + the degree
@@ -776,6 +813,16 @@ object SparkEntry {
     val prChain = (1 to 8)
       .map(i => s"r$i AS ${prIter(s"r${i - 1}")}")
       .mkString(",\n")
+    // 3 unrolled LP supersteps — shared by q_labelprop_sizes (the label
+    // histogram) and q_modularity (the partition-quality metric)
+    val lpChain3 =
+      s"""sym AS MATERIALIZED (SELECT src, dst, weight FROM e
+         |        UNION ALL SELECT dst AS src, src AS dst, weight FROM e),
+         |verts AS (SELECT DISTINCT src AS vid FROM sym),
+         |s0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts),
+         |s1 AS ${lpIter("s0")},
+         |s2 AS ${lpIter("s1")},
+         |s3 AS ${lpIter("s2")}""".stripMargin
     val degreesSql =
       s"""WITH $edgesCte,
          |u AS (SELECT src AS vid, weight FROM e
@@ -823,14 +870,89 @@ object SparkEntry {
       },
       "q_labelprop_sizes" ->
         s"""WITH $edgesCte,
-           |sym AS MATERIALIZED (SELECT src, dst, weight FROM e
-           |        UNION ALL SELECT dst AS src, src AS dst, weight FROM e),
-           |verts AS (SELECT DISTINCT src AS vid FROM sym),
-           |s0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts),
-           |s1 AS ${lpIter("s0")},
-           |s2 AS ${lpIter("s1")},
-           |s3 AS ${lpIter("s2")}
+           |$lpChain3
            |SELECT label, count(*) AS cnt FROM s3 GROUP BY 1""".stripMargin,
+      // modularity of the same 3-round LP partition: every moment is an
+      // exact integer (m, within-edges A, per-community degree sums D_c);
+      // D_c² goes through HUGEINT (decimal(38,0) on the Spark side) and
+      // B = ΣD_c² ≤ (2m)² is EXACT in a double at every test scale, so
+      // the single double expression A/m - B/(4·m·m) is the identical
+      // correctly-rounded IEEE evaluation on both engines before the one
+      // e7 quantization
+      "q_modularity" ->
+        s"""WITH $edgesCte,
+           |$lpChain3,
+           |mm AS (SELECT count(*) AS m FROM e),
+           |aw AS (SELECT CAST(sum(CASE WHEN sa.label = sb.label THEN 1 ELSE 0 END) AS BIGINT) AS a_within
+           |       FROM e JOIN s3 sa ON e.src = sa.vid
+           |       JOIN s3 sb ON e.dst = sb.vid),
+           |deg AS (SELECT vid, count(*) AS deg FROM (
+           |        SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)
+           |        GROUP BY 1),
+           |bb AS (SELECT sum(CAST(dc AS HUGEINT) * dc) AS bsum FROM (
+           |        SELECT s.label, sum(d.deg) AS dc
+           |        FROM deg d JOIN s3 s ON d.vid = s.vid GROUP BY 1))
+           |SELECT m, a_within, CAST(bsum AS BIGINT) AS b,
+           |  CASE WHEN m > 0 THEN
+           |    CAST(round((CAST(a_within AS DOUBLE) / m
+           |      - CAST(bsum AS DOUBLE) / (4.0 * m * m)) * 1e7) AS BIGINT)
+           |  END AS q_e7
+           |FROM mm, aw, bb""".stripMargin,
+      // eigenvector centrality — 8 unrolled power-iteration steps with the
+      // L1 normalizer applied INSIDE the scatter term (sum(score/T), with
+      // the engine's uniform weight 1.0 making (1.0·y)/T == y/T
+      // bit-exact); the ulp noise of each engine's own sum order sits far
+      // below the e7 grid, exactly as in the PageRank oracle
+      "q_eigen_top20" -> {
+        def ecIter(prev: String): String =
+          s"""MATERIALIZED (
+             |  SELECT v.vid, coalesce(m.s, 0) AS score
+             |  FROM verts v LEFT JOIN (
+             |    SELECT s.dst AS vid,
+             |      sum(r.score / (SELECT sum(score) FROM $prev)) AS s
+             |    FROM sym s JOIN $prev r ON s.src = r.vid GROUP BY 1
+             |  ) m ON v.vid = m.vid
+             |)""".stripMargin
+        val chain = (1 to 8)
+          .map(i => s"x$i AS ${ecIter(s"x${i - 1}")}")
+          .mkString(",\n")
+        s"""WITH $edgesCte,
+           |sym AS MATERIALIZED (SELECT src, dst FROM e
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e),
+           |verts AS (SELECT DISTINCT src AS vid FROM sym),
+           |x0 AS MATERIALIZED (SELECT vid, 1.0 AS score FROM verts),
+           |$chain
+           |SELECT vid,
+           |  CAST(round(score / (SELECT sum(score) FROM x8) * 1e7) AS BIGINT)
+           |    AS score_e7
+           |FROM x8
+           |ORDER BY CAST(round(score / (SELECT sum(score) FROM x8) * 1e7) AS BIGINT) DESC, vid
+           |LIMIT 20""".stripMargin
+      },
+      // resource-allocation link prediction: wedges through centers with
+      // deg <= 64 (the hub cap, mirrored from LinkPred's maxDeg), scored
+      // 1.0/deg (a correctly-rounded IEEE division — bit-identical across
+      // engines), existing edges anti-joined away
+      "q_linkpred" ->
+        s"""WITH $edgesCte,
+           |sym AS (SELECT src AS w, dst AS u FROM e
+           |        UNION ALL SELECT dst AS w, src AS u FROM e),
+           |deg AS MATERIALIZED (SELECT w, count(*) AS deg FROM sym GROUP BY 1),
+           |cap AS MATERIALIZED (
+           |  SELECT s.w, s.u, d.deg FROM sym s JOIN deg d USING (w)
+           |  WHERE d.deg <= 64),
+           |wed AS (SELECT x.u AS u, y.u AS v, x.deg
+           |        FROM cap x JOIN cap y ON x.w = y.w AND x.u < y.u),
+           |sc AS (SELECT u, v, count(*) AS cn, sum(1.0 / deg) AS ra
+           |       FROM wed GROUP BY 1, 2),
+           |nonadj AS (SELECT sc.u, sc.v, sc.cn, sc.ra FROM sc
+           |           LEFT JOIN e ON sc.u = e.src AND sc.v = e.dst
+           |           WHERE e.src IS NULL)
+           |SELECT u AS src, v AS dst, cn,
+           |  CAST(round(ra * 1e7) AS BIGINT) AS ra_e7
+           |FROM nonadj
+           |ORDER BY CAST(round(ra * 1e7) AS BIGINT) DESC, u, v
+           |LIMIT 50""".stripMargin,
       "q_pagerank_top20" ->
         s"""WITH $edgesCte,
            |deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY 1),

@@ -1,0 +1,81 @@
+package graft.algos
+
+import graft._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Newman modularity of a vertex partition (Newman & Girvan 2004) — the
+  * standard "how good are these communities" score for the labels that
+  * [[LabelProp]] (or any other clustering) produces:
+  *
+  *   Q = Σ_c [ e_c/m − (D_c/2m)² ] = A/m − B/(4m²)
+  *
+  * with m = |undirected simple edges|, A = Σ_c e_c (edges whose endpoints
+  * share a label), D_c = Σ_{v∈c} deg(v) and B = Σ_c D_c².
+  *
+  * Cross-engine arithmetic: every moment (m, A, D_c) is an exact integer;
+  * D_c² goes through decimal(38,0) (DuckDB HUGEINT) like the
+  * assortativity query's 128-bit products, and since B ≤ (2m)² it is
+  * exactly representable in a double for any m < 2^25 — far past every
+  * test scale — so the single double expression A/m − B/(4·m·m) is the
+  * IDENTICAL correctly-rounded IEEE evaluation on both engines before the
+  * one e7 quantization. (At 10^12-edge scale B still fits decimal(38,0);
+  * only the final double division is approximate, exactly like the rank
+  * queries.)
+  *
+  * Shape: two broadcast-or-shuffle joins of the edge list against the
+  * label table, one degree aggregation, three scalar aggregates — no
+  * iteration, no collect; composes with any label source.
+  */
+object Modularity {
+
+  /** @param labels (vid, label) — must cover every vertex of `edges`.
+    * @return one row: (m, a_within, b, q_e7).
+    */
+  def of(edges: Dataset[Edge], labels: DataFrame): DataFrame = {
+    val und = edges.toDF()
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+      )
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col("vid"), col("label"))
+    val mDf = und.agg(count(lit(1)).as("m"))
+    val aDf = und
+      .join(lab.select(col("vid").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("vid").as("b"), col("label").as("lb")), "b")
+      .agg(
+        coalesce(
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L)),
+          lit(0L),
+        ).as("a_within")
+      )
+    val deg = und.select(col("a").as("vid"))
+      .unionByName(und.select(col("b").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("deg"))
+    val bDf = deg.join(lab, "vid")
+      .groupBy("label").agg(sum("deg").as("dc"))
+      .agg(
+        coalesce(
+          sum(col("dc").cast("decimal(38,0)") * col("dc")),
+          lit(0L).cast("decimal(38,0)"),
+        ).as("bsum")
+      )
+    mDf.crossJoin(aDf).crossJoin(bDf)
+      .select(
+        col("m"),
+        col("a_within"),
+        col("bsum").cast("long").as("b"),
+        when(
+          col("m") > 0,
+          round(
+            (col("a_within").cast("double") / col("m")
+              - col("bsum").cast("double")
+                / (lit(4.0) * col("m") * col("m"))) * 1e7,
+            0,
+          ).cast("long"),
+        ).as("q_e7"),
+      )
+  }
+}

@@ -59,6 +59,9 @@ final case class CompState(vid: Long, comp: Long)
 /** Per-vertex label state (label propagation). */
 final case class LabelState(vid: Long, label: Long)
 
+/** Per-vertex centrality score (eigenvector centrality). */
+final case class ScoreState(vid: Long, score: Double)
+
 /** PageRank configuration — shared verbatim by the engine and the in-repo
   * oracle so dangling/teleport semantics cannot drift (SURVEY.md §7.4.6).
   */
@@ -79,6 +82,17 @@ final case class LpConfig(
     weighted: Boolean = true,
     symmetrize: Boolean = true,
     checkpointEvery: Int = 8,
+)
+
+/** Eigenvector-centrality configuration. Fixed iteration count (power
+  * iteration has no universal convergence guarantee — bipartite graphs
+  * oscillate), L1 normalization each step; `weighted` scatters the raw
+  * edge weight instead of 1.0.
+  */
+final case class EcConfig(
+    iterations: Int = 8,
+    weighted: Boolean = false,
+    symmetrize: Boolean = true,
 )
 
 /** Edge-builder configuration (SURVEY.md §2.A J2).

@@ -1,0 +1,189 @@
+package graft
+
+import graft.algos.{Eigen, LabelProp, LinkPred, Modularity}
+import graft.oracle.Oracles
+import org.apache.spark.sql.functions._
+
+/** Eigenvector centrality, resource-allocation link prediction, and
+  * modularity vs the plain-Scala oracles (SURVEY §5.1 style: hand
+  * fixtures with closed-form answers, seeded random graphs, cap/edge
+  * semantics pinned).
+  */
+class GraphExtrasSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private def seededRandomGraph(
+      seed: Long,
+      n: Int,
+      m: Int,
+  ): Seq[(Long, Long, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until m).flatMap { _ =>
+      val a = rnd.nextInt(n).toLong
+      val b = rnd.nextInt(n).toLong
+      if (a == b) None else Some((a, b, 1.0 + rnd.nextInt(3)))
+    }.distinct
+  }
+
+  // ---- eigenvector centrality ----
+
+  test("eigen: cycle is regular, scores stay exactly uniform") {
+    val got = Eigen.run(edgeDs(Fixtures.cycle6), EcConfig(iterations = 5))
+      .scores.collect().map(s => s.vid -> s.score).toMap
+    assert(got.size == 6)
+    got.values.foreach(s => assert(math.abs(s - 1.0 / 6) < 1e-15))
+  }
+
+  test("eigen matches the dense oracle on fixtures") {
+    Seq(Fixtures.path5, Fixtures.star, Fixtures.twoCliquesBridge,
+      Fixtures.danglers).foreach { g =>
+      val cfg = EcConfig(iterations = 8)
+      val got = Eigen.run(edgeDs(g), cfg)
+        .scores.collect().map(s => s.vid -> s.score).toMap
+      allclose(got, Oracles.eigen(g, cfg))
+    }
+  }
+
+  test("eigen matches the dense oracle on seeded random graphs") {
+    Seq(11L, 37L, 71L).foreach { seed =>
+      val g = seededRandomGraph(seed, 30, 90)
+      val cfg = EcConfig(iterations = 8)
+      val got = Eigen.run(edgeDs(g), cfg)
+        .scores.collect().map(s => s.vid -> s.score).toMap
+      allclose(got, Oracles.eigen(g, cfg))
+    }
+  }
+
+  test("eigen weighted mode matches the dense oracle") {
+    val g = seededRandomGraph(91L, 25, 70)
+    val cfg = EcConfig(iterations = 8, weighted = true)
+    val got = Eigen.run(edgeDs(g), cfg)
+      .scores.collect().map(s => s.vid -> s.score).toMap
+    allclose(got, Oracles.eigen(g, cfg))
+  }
+
+  test("eigen: output is L1-normalized and concentrates on the hub") {
+    // star (symmetrized) is bipartite: power iteration oscillates between
+    // the ±λ phases, so the hub-heavy phase shows at ODD step counts
+    // (the fixed-k contract is exactly why — see Eigen's Scaladoc)
+    val r = Eigen.run(edgeDs(Fixtures.star), EcConfig(iterations = 7))
+    val got = r.scores.collect().map(s => s.vid -> s.score).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    assert(got(0L) > got(1L) * 10)
+    assert(r.iterations == 7 && r.edgeCount == 100) // 50 edges symmetrized
+  }
+
+  // ---- resource-allocation link prediction ----
+
+  private def lpScores(
+      g: Seq[(Long, Long, Double)],
+      maxDeg: Int,
+  ): Map[(Long, Long), (Long, Double)] =
+    LinkPred.resourceAllocation(edgeDs(g), maxDeg)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+  test("linkpred matches the brute-force oracle on a hand fixture") {
+    // path 1-2-3-4-5: non-adjacent pairs at distance 2 share one center
+    val got = lpScores(Fixtures.path5, maxDeg = 1024)
+    val want = Oracles.resourceAllocation(Fixtures.path5, 1024)
+    assert(got.keySet == want.keySet)
+    // (1,3) through center 2 (deg 2): cn=1, ra=1/2
+    assert(got((1L, 3L)) == ((1L, 0.5)))
+    want.foreach { case (k, (cn, ra)) =>
+      val (gc, gr) = got(k)
+      assert(gc == cn && math.abs(gr - ra) < 1e-12, s"pair $k")
+    }
+  }
+
+  test("linkpred matches the brute-force oracle on seeded random graphs") {
+    Seq(13L, 29L).foreach { seed =>
+      val g = seededRandomGraph(seed, 25, 60)
+      Seq(1024, 6).foreach { cap => // uncapped + a cap that bites
+        val got = lpScores(g, cap)
+        val want = Oracles.resourceAllocation(g, cap)
+        assert(got.keySet == want.keySet, s"seed $seed cap $cap")
+        want.foreach { case (k, (cn, ra)) =>
+          val (gc, gr) = got(k)
+          assert(gc == cn, s"seed $seed cap $cap pair $k cn")
+          assert(math.abs(gr - ra) < 1e-12, s"seed $seed cap $cap pair $k ra")
+        }
+      }
+    }
+  }
+
+  test("linkpred: hub centers above maxDeg are excluded entirely") {
+    // star hub has deg 50 — with maxDeg 10 no wedge survives (spokes have
+    // the hub as their ONLY neighbor, so no other center exists)
+    assert(lpScores(Fixtures.star, maxDeg = 10).isEmpty)
+    // uncapped: every spoke pair is predicted through the hub, 1/50 each
+    val full = lpScores(Fixtures.star, maxDeg = 1024)
+    assert(full.size == 50 * 49 / 2)
+    full.values.foreach { case (cn, ra) =>
+      assert(cn == 1L && math.abs(ra - 1.0 / 50) < 1e-15)
+    }
+  }
+
+  test("linkpred: existing edges are never predicted") {
+    val g = Fixtures.twoCliquesBridge
+    val got = lpScores(g, maxDeg = 1024)
+    val existing = g.map { case (a, b, _) =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    assert(got.keySet.intersect(existing).isEmpty)
+    // within a K5 every pair is adjacent; predictions only cross the
+    // bridge neighborhood
+    assert(got.contains((4L, 6L)) || got.contains((5L, 7L)))
+  }
+
+  // ---- modularity ----
+
+  private def modQ(
+      g: Seq[(Long, Long, Double)],
+      labels: Map[Long, Long],
+  ): (Long, Long, Long, Long) = {
+    val lab = labels.toSeq.toDF("vid", "label")
+    val r = Modularity.of(edgeDs(g), lab).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("modularity: two disjoint triangles, perfect partition = 0.5") {
+    val g = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+      (4L, 5L, 1.0), (5L, 6L, 1.0), (4L, 6L, 1.0))
+    val labels = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 2L)
+    val (m, a, b, q) = modQ(g, labels)
+    assert(m == 6 && a == 6 && b == 72)
+    assert(q == 5000000L) // Q = 1 - 72/144 = 0.5
+  }
+
+  test("modularity: everything in one community = 0") {
+    val g = Fixtures.twoCliquesBridge
+    val labels = Oracles.verticesOf(g).map(_ -> 1L).toMap
+    val (_, _, _, q) = modQ(g, labels)
+    assert(q == 0L) // A = m and B = (2m)² ⇒ Q = 1 - 1 = 0 exactly
+  }
+
+  test("modularity matches the plain oracle on LP partitions of random graphs") {
+    Seq(17L, 43L).foreach { seed =>
+      val g = seededRandomGraph(seed, 30, 80)
+      val cfg = LpConfig(iterations = 3)
+      val labels = LabelProp.run(edgeDs(g), cfg)
+        .collect().map(s => s.vid -> s.label).toMap
+      val want = Oracles.modularity(g, labels)
+      val lab = labels.toSeq.toDF("vid", "label")
+      val got = Modularity.of(edgeDs(g), lab).collect().head.getLong(3)
+      assert(math.abs(got - math.round(want * 1e7)) <= 1, s"seed $seed")
+    }
+  }
+
+  test("modularity: the LP partition beats the trivial one on cliques") {
+    val g = Fixtures.twoCliquesBridge
+    val labels = LabelProp.run(edgeDs(g), LpConfig(iterations = 5))
+      .collect().map(s => s.vid -> s.label).toMap
+    val lab = labels.toSeq.toDF("vid", "label")
+    val q = Modularity.of(edgeDs(g), lab).collect().head.getLong(3)
+    assert(q > 3000000L) // two-clique split scores well above 0.3
+  }
+}

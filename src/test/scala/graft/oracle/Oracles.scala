@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.{LpConfig, PrConfig}
+import graft.{EcConfig, LpConfig, PrConfig}
 import scala.collection.mutable
 
 /** In-repo single-threaded oracles — the operationalized "reference
@@ -300,5 +300,100 @@ object Oracles {
       }
     }
     adj.keySet.toSet -- dead
+  }
+
+  /** Dense eigenvector centrality: k power-iteration steps with per-step
+    * L1 normalization over the (optionally symmetrized) graph. Mirrors
+    * [[graft.algos.Eigen]]'s Scaladoc semantics exactly: y0 = 1,
+    * y'(v) = Σ w·y(u)/T, out = y_k/T_k.
+    */
+  def eigen(
+      edges: Seq[(Long, Long, Double)],
+      cfg: EcConfig,
+  ): Map[Long, Double] = {
+    val base =
+      if (cfg.symmetrize) {
+        val m = mutable.Map.empty[(Long, Long), Double]
+        edges.foreach { case (s, t, w) =>
+          m((s, t)) = m.getOrElse((s, t), 0.0) + w
+          m((t, s)) = m.getOrElse((t, s), 0.0) + w
+        }
+        m.toSeq.map { case ((s, t), w) => (s, t, w) }
+      } else edges
+    val verts = verticesOf(base)
+    var y = verts.map(v => v -> 1.0).toMap
+    var total = y.values.sum
+    for (_ <- 0 until cfg.iterations) {
+      val next = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      base.foreach { case (s, t, w) =>
+        val ww = if (cfg.weighted) w else 1.0
+        next(t) += ww * y(s) / total
+      }
+      y = verts.map(v => v -> next(v)).toMap
+      total = y.values.sum
+    }
+    y.map { case (v, s) => v -> s / total }
+  }
+
+  /** Brute-force resource-allocation link prediction: for every
+    * non-adjacent unordered pair (u, v), cn = |N(u) ∩ N(v)| and
+    * ra = Σ_{w ∈ N(u) ∩ N(v), deg(w) <= maxDeg} 1/deg(w), keeping pairs
+    * with at least one counted common neighbor. Degrees are distinct
+    * undirected neighbors; centers above maxDeg contribute to NEITHER
+    * cn nor ra (the cap excludes the center entirely — mirrors
+    * [[graft.algos.LinkPred]]).
+    */
+  def resourceAllocation(
+      edges: Seq[(Long, Long, Double)],
+      maxDeg: Int,
+  ): Map[(Long, Long), (Long, Double)] = {
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (s, t, _) =>
+      if (s != t) {
+        adj.getOrElseUpdate(s, mutable.Set.empty) += t
+        adj.getOrElseUpdate(t, mutable.Set.empty) += s
+      }
+    }
+    val out = mutable.Map.empty[(Long, Long), (Long, Double)]
+    adj.foreach { case (w, ns) =>
+      if (ns.size <= maxDeg) {
+        val sorted = ns.toSeq.sorted
+        for {
+          i <- sorted.indices
+          j <- (i + 1) until sorted.size
+        } {
+          val key = (sorted(i), sorted(j))
+          val (c, r) = out.getOrElse(key, (0L, 0.0))
+          out(key) = (c + 1, r + 1.0 / ns.size)
+        }
+      }
+    }
+    val existing = edges.flatMap { case (s, t, _) =>
+      if (s != t) Some((math.min(s, t), math.max(s, t))) else None
+    }.toSet
+    out.filter { case (k, _) => !existing.contains(k) }.toMap
+  }
+
+  /** Newman modularity of a vertex partition over the simple undirected
+    * graph: Q = A/m - B/(4m²) with A = within-community edges,
+    * B = Σ_c (Σ_{v∈c} deg v)², m = |undirected edges|.
+    */
+  def modularity(
+      edges: Seq[(Long, Long, Double)],
+      labels: Map[Long, Long],
+  ): Double = {
+    val und = edges
+      .map { case (s, t, _) => (math.min(s, t), math.max(s, t)) }
+      .filter { case (a, b) => a != b }
+      .distinct
+    val m = und.size.toLong
+    if (m == 0) return 0.0
+    val a = und.count { case (u, v) => labels(u) == labels(v) }.toLong
+    val deg = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    und.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val dsum = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    deg.foreach { case (v, d) => dsum(labels(v)) += d }
+    val b = dsum.values.map(d => d.toDouble * d).sum
+    a.toDouble / m - b / (4.0 * m * m)
   }
 }
