@@ -40,7 +40,10 @@ object Bfs {
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    // persisted: the CSR build, the vertex set, and the init-state cut
+    // all traverse the symmetrized base (see Eigen for the measurement)
     val sym = EdgeBuilder.symmetrize(edges.filter(col("src") =!= col("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val adj = Csr.build(sym, p, Csr.WeightMode.One)
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
@@ -87,6 +90,7 @@ object Bfs {
     }
     val dists = state.where(col("dist").isNotNull)
     adj.unpersist(false)
+    sym.unpersist(false)
     BfsResult(dists, iter)
   }
 }

@@ -44,6 +44,8 @@ final case class EigenResult(
   */
 object Eigen {
 
+  private val debug = sys.env.contains("GRAFT_DEBUG")
+
   def run(
       edges: Dataset[Edge],
       cfg: EcConfig = EcConfig(),
@@ -52,20 +54,32 @@ object Eigen {
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    // persist the derived edge base: the CSR build, the vertex set, and
+    // the init-state cut all traverse it — without the cache each is a
+    // full recompute of the caller's (possibly expensive) edge pipeline
+    // (measured: the sf0.1 co-occurrence build re-ran 3× per call)
+    val tCsr = System.nanoTime()
     val base =
-      if (cfg.symmetrize) EdgeBuilder.symmetrize(edges) else edges
+      (if (cfg.symmetrize) EdgeBuilder.symmetrize(edges) else edges)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val mode =
       if (cfg.weighted) Csr.WeightMode.Raw else Csr.WeightMode.One
     val adj = Csr.build(base, p, mode)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCnt = Csr.edgeCount(adj)
+    if (debug) Console.err.println(
+      f"[eigen] csr ${(System.nanoTime() - tCsr) / 1e9}%.2fs")
     if (edgeCnt == 0) {
       adj.unpersist(false)
+      base.unpersist(false)
       return EigenResult(spark.emptyDataset[ScoreState], 0, 0L, 0.0)
     }
 
+    val tInit = System.nanoTime()
     val verts = Superstep.vertices(base)
     val nVerts = verts.count()
+    if (debug) Console.err.println(
+      f"[eigen] init verts=$nVerts edges=$edgeCnt ${(System.nanoTime() - tInit) / 1e9}%.2fs")
 
     // y0 = 1.0 everywhere → T0 = n exactly (same literal on both engines)
     var state: DataFrame =
@@ -86,16 +100,20 @@ object Eigen {
       val next = state.select("vid")
         .join(msgs, Seq("vid"), "left_outer")
         .select(col("vid"), coalesce(col("msg"), lit(0.0)).as("score"))
+      val it0 = System.nanoTime()
       val (cut, r) = Superstep.cutAndAgg(next, nVerts, Seq(sum("score")))
       total = r.getDouble(0)
       state = cut
       iter += 1
+      if (debug) Console.err.println(
+        f"[eigen] iter=$iter total=$total%.6f ${(System.nanoTime() - it0) / 1e9}%.2fs")
     }
     val wall = (System.nanoTime() - t0) / 1e9
     val out = state
       .select(col("vid"), (col("score") / lit(total)).as("score"))
       .as[ScoreState]
     adj.unpersist(false)
+    base.unpersist(false)
     EigenResult(out, iter, edgeCnt, wall)
   }
 }

@@ -56,11 +56,15 @@ object KCore {
       .symmetrize(edges.filter(col("src") =!= col("dst")))
       .select(col("src"), col("dst"), lit(1.0).as("weight"))
       .as[Edge]
+      // persisted: the CSR build and the init-state cut both traverse
+      // the symmetrized base (see Eigen for the measurement)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val adj = Csr.build(sym, p, Csr.WeightMode.One)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val adjCount = adj.count()
     if (adjCount == 0) {
       adj.unpersist(false)
+      sym.unpersist(false)
       return KCoreResult(spark.emptyDataset[Long].toDF("vid"), 0)
     }
 
@@ -99,6 +103,7 @@ object KCore {
     }
     val core = state.where(col("active")).select(col("vid"))
     adj.unpersist(false)
+    sym.unpersist(false)
     KCoreResult(core, iter)
   }
 }

@@ -48,7 +48,11 @@ object LabelProp {
     val spark = edges.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val base = if (cfg.symmetrize) EdgeBuilder.symmetrize(edges) else edges
+    // persisted: the CSR build and the init-state cut both traverse the
+    // derived base (see Eigen for the measurement)
+    val base =
+      (if (cfg.symmetrize) EdgeBuilder.symmetrize(edges) else edges)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val mode =
       if (cfg.weighted) Csr.WeightMode.Raw else Csr.WeightMode.One
     val adj = Csr.build(base, p, mode)
@@ -87,6 +91,7 @@ object LabelProp {
     }
     val out = state.select(col("vid"), col("label")).as[LabelState]
     adj.unpersist(false)
+    base.unpersist(false)
     out
   }
 

@@ -63,19 +63,26 @@ object Ppr {
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    // persist the input edges: the CSR build, vertex set, out-set, and
+    // the caller's seed pipeline (usually derived from the SAME edge
+    // plan — the cache is matched by plan fragment) each traverse them;
+    // without the cache a cold PPR re-ran the sf0.1 co-occurrence build
+    // ~7× (measured 158 s → ~30 s)
+    val base = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val mode =
       if (cfg.weighted) Csr.WeightMode.NormWeighted
       else Csr.WeightMode.NormUniform
-    val adj = Csr.build(edges, p, mode)
+    val adj = Csr.build(base, p, mode)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCnt = Csr.edgeCount(adj)
     if (edgeCnt == 0) {
       adj.unpersist(false)
+      base.unpersist(false)
       return PprResult(spark.emptyDataset[RankState], 0, 0L, 0.0)
     }
 
-    val verts = Superstep.vertices(edges)
-    val outs = edges.select(col("src").as("vid")).distinct()
+    val verts = Superstep.vertices(base)
+    val outs = base.select(col("src").as("vid")).distinct()
       .withColumn("hasOut", lit(true))
     val nVerts = verts.count()
     // |S ∩ V| — the reset normalizer; seeds outside the graph carry no
@@ -141,6 +148,7 @@ object Ppr {
       .select(col("vid"), col("rank"), col("dangling"))
       .as[RankState]
     adj.unpersist(false)
+    base.unpersist(false)
     PprResult(ranks, iter, edgeCnt, wall)
   }
 }

@@ -46,7 +46,10 @@ object Sssp {
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    // persisted: the CSR build, the vertex set, and the init-state cut
+    // all traverse the symmetrized base (see Eigen for the measurement)
     val sym = EdgeBuilder.symmetrize(edges.filter(col("src") =!= col("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val adj = Csr.build(sym, p, Csr.WeightMode.Raw)
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
@@ -98,6 +101,7 @@ object Sssp {
     }
     val dists = state.where(col("dist").isNotNull).select(col("vid"), col("dist"))
     adj.unpersist(false)
+    sym.unpersist(false)
     SsspResult(dists, iter)
   }
 }

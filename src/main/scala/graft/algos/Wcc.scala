@@ -68,7 +68,10 @@ object Wcc {
     val spark = edges.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted: the CSR build and the init-state cut both traverse the
+    // symmetrized base (see Eigen for the measurement)
     val sym = EdgeBuilder.symmetrize(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val adj = Csr.build(sym, p, Csr.WeightMode.One)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val adjCount = adj.count() // ~|V| on a symmetrized graph
@@ -194,6 +197,7 @@ object Wcc {
     }
     val out = state.select(col("vid"), col("comp")).as[CompState]
     adj.unpersist(false)
+    sym.unpersist(false)
     WccResult(out, iter - startIter)
   }
 }

@@ -178,6 +178,51 @@ class GraphExtrasSpec extends GraftSuite {
     }
   }
 
+  // ---- plan pins (PlanShapeSpec style) ----
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("eigen superstep message path = exactly one exchange") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    ) {
+      val edges = edgeDs(Fixtures.powerlaw1k)
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val adj = Csr.build(edges, p).localCheckpoint(true)
+      val state = Superstep.vertices(edges)
+        .select(col("vid"), lit(1.0).as("score"))
+        .localCheckpoint(true)
+      val msgs = Superstep.scatter(adj.as[AdjBlock], state)
+        .select(col("vid"), (col("w") * col("score") / lit(20.0)).as("m"))
+        .groupBy("vid").agg(sum("m").as("msg"))
+      val plan = msgs.queryExecution.executedPlan.toString
+      val ex = "Exchange".r.findAllIn(plan).length
+      assert(ex == 1, s"eigen msgs: expected 1 exchange, got $ex:\n$plan")
+    }
+  }
+
+  test("linkpred: wedge self-join is keyed on the center, never nested-loop") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    ) {
+      val plan = LinkPred
+        .resourceAllocation(edgeDs(Fixtures.powerlaw1k), maxDeg = 64)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+  }
+
   test("modularity: the LP partition beats the trivial one on cliques") {
     val g = Fixtures.twoCliquesBridge
     val labels = LabelProp.run(edgeDs(g), LpConfig(iterations = 5))
