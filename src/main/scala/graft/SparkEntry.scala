@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Eigen, KCore, LabelProp, LinkPred, Modularity, PageRank, Ppr, Sssp, Triangles, Wcc}
+import graft.algos.{Bfs, Eigen, KCore, KTruss, LabelProp, LinkPred, Modularity, PageRank, Ppr, Sssp, Triangles, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
@@ -171,6 +171,14 @@ object SparkEntry {
       val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
       Sssp.run(edges, seeds).dists
         .select(col("vid"), col("dist").cast("long").as("dist"))
+    },
+    // k-truss (k=3) of the repeat-co-occurrence subgraph: the maximal
+    // subgraph where every edge closes >= 1 triangle WITHIN it —
+    // synchronous peeling, fixpoint measured at 2 rounds on every sf
+    // (oracle unrolls 8, stable past convergence like q_kcore);
+    // sf0.01: 181 of 3445 edges survive
+    "q_ktruss" -> { (s, d) =>
+      KTruss.run(partEdgeDs(s, d).filter(col("weight") >= 2.0), k = 3).edges
     },
     // eigenvector centrality: 8 L1-normalized power-iteration steps over
     // the symmetrized graph; same e7 quantization contract as the rank
@@ -898,6 +906,32 @@ object SparkEntry {
            |      - CAST(bsum AS DOUBLE) / (4.0 * m * m)) * 1e7) AS BIGINT)
            |  END AS q_e7
            |FROM mm, aw, bb""".stripMargin,
+      // k-truss (k=3) — 8 unrolled synchronous peeling rounds over the
+      // weight>=2 subgraph: per round, each edge's support = triangles
+      // through it in the CURRENT edge set (the canonical a<b<c 3-way
+      // join counts each triangle once; every triangle credits its 3
+      // edges), edges under k-2 drop; a fixpoint is stable so unrolling
+      // past the measured 2-round convergence is harmless
+      "q_ktruss" -> {
+        def ktIter(prev: String, i: Int): String =
+          s"""t$i AS MATERIALIZED (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM $prev e1 JOIN $prev e2 ON e1.b = e2.a
+             |  JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |s$i AS (SELECT a, b, count(*) AS sup FROM (
+             |  SELECT x AS a, y AS b FROM t$i
+             |  UNION ALL SELECT y, z FROM t$i
+             |  UNION ALL SELECT x, z FROM t$i) GROUP BY 1, 2),
+             |k$i AS MATERIALIZED (
+             |  SELECT e.a, e.b FROM $prev e JOIN s$i s USING (a, b)
+             |  WHERE s.sup >= 1)""".stripMargin
+        val chain = (1 to 8).map(i => ktIter(s"k${i - 1}", i)).mkString(",\n")
+        s"""WITH $edgesCte,
+           |k0 AS MATERIALIZED (
+           |  SELECT src AS a, dst AS b FROM e WHERE weight >= 2),
+           |$chain
+           |SELECT a AS src, b AS dst FROM k8""".stripMargin
+      },
       // eigenvector centrality — 8 unrolled power-iteration steps with the
       // L1 normalizer applied INSIDE the scatter term (sum(score/T), with
       // the engine's uniform weight 1.0 making (1.0·y)/T == y/T

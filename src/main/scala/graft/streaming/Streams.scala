@@ -65,6 +65,42 @@ object Streams {
         col("sum_value"),
       )
 
+  /** Watermarked stream-stream inner interval join: each left event
+    * matches right events with the same key whose timestamp falls in
+    * [left.ts, left.ts + bound] — the attribution/enrichment join (an
+    * impression matched to its clicks, a doc-ingest event to its review
+    * events). Both sides carry the watermark and the join predicate
+    * carries the time range, which is exactly what lets the engine
+    * EVICT buffered rows: state is bounded by watermark + bound, never
+    * the whole stream. Append-mode only (the one output mode
+    * stream-stream inner joins support). Works identically on batch
+    * frames (the same predicate, no state) — spec-verified equal.
+    *
+    * Column names of the two sides must be disjoint apart from `keyCol`
+    * (pass pre-projected frames; the output carries left columns then
+    * right columns, with the right timestamp as `r_<tsCol>`).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      watermark: String,
+      bound: String,
+  ): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right
+      .withColumnRenamed(tsCol, s"r_$tsCol")
+      .withColumnRenamed(keyCol, s"r_$keyCol")
+    val r = r0.withWatermark(s"r_$tsCol", watermark)
+    l.join(
+      r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $bound"),
+    ).drop(s"r_$keyCol")
+  }
+
   /** Watermarked tumbling-window aggregation — the streaming dual of the
     * batch q_events_hourly (count + exact decimal sum per (window, type)).
     */

@@ -178,6 +178,41 @@ class GraphExtrasSpec extends GraftSuite {
     }
   }
 
+  // ---- k-truss ----
+
+  private def trussEdges(
+      g: Seq[(Long, Long, Double)],
+      k: Int,
+  ): Set[(Long, Long)] =
+    graft.algos.KTruss.run(edgeDs(g), k)
+      .edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("ktruss: two K5s keep their cliques, the bridge peels") {
+    val g = Fixtures.twoCliquesBridge
+    // k=4: every K5 edge sits in 3 triangles (>= 2); the bridge in 0
+    val got4 = trussEdges(g, 4)
+    assert(got4.size == 20 && !got4.contains((5L, 6L)))
+    assert(got4 == Oracles.ktruss(g, 4))
+    // k=5 (minSup 3): K5 edges still qualify exactly
+    assert(trussEdges(g, 5) == got4)
+    // k=6 (minSup 4 > 3): everything peels
+    assert(trussEdges(g, 6).isEmpty)
+  }
+
+  test("ktruss matches the peeling oracle on seeded random graphs") {
+    Seq(31L, 59L).foreach { seed =>
+      val g = seededRandomGraph(seed, 20, 70)
+      Seq(3, 4).foreach { k =>
+        assert(trussEdges(g, k) == Oracles.ktruss(g, k), s"seed $seed k $k")
+      }
+    }
+  }
+
+  test("ktruss: triangle-free graphs peel to empty, empty input is empty") {
+    assert(trussEdges(Fixtures.path5, 3).isEmpty)
+    assert(trussEdges(Seq.empty, 3).isEmpty)
+  }
+
   // ---- plan pins (PlanShapeSpec style) ----
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {

@@ -133,6 +133,45 @@ class StreamingSpec extends GraftSuite {
     assert(got == want, s"resumed run lost state: got $got want $want")
   }
 
+  test("stream-stream interval join == batch join, bound enforced") {
+    // impressions and their clicks: ad 1 clicked twice inside the 10-min
+    // bound + once outside; ad 2 clicked before the impression (never
+    // matches); ad 3 never clicked; click 9 is out-of-order in arrival
+    val imps = Seq(
+      (1L, ts(0), 10.0),
+      (2L, ts(20), 20.0),
+      (3L, ts(40), 30.0),
+    )
+    val clicks = Seq(
+      (1L, ts(4), 1.0),
+      (1L, ts(9), 2.0), // in bound
+      (1L, ts(15), 3.0), // outside the 10-min bound
+      (2L, ts(12), 4.0), // before its impression
+    )
+    val ldir = Files.createTempDirectory("graft-ss-left").toString
+    val rdir = Files.createTempDirectory("graft-ss-right").toString
+    val lb = imps.toDF("ad_id", "ts", "cost")
+    val rb = clicks.toDF("ad_id", "ts", "click_value")
+    lb.write.mode("overwrite").parquet(ldir)
+    rb.write.mode("overwrite").parquet(rdir)
+    val out = Streams.intervalJoin(
+      spark.readStream.schema(lb.schema).parquet(ldir),
+      spark.readStream.schema(rb.schema).parquet(rdir),
+      "ad_id", "ts",
+      watermark = "1 hour", bound = "10 minutes")
+    runToTable(out, "ss_join", "append")
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        r.getTimestamp(3), r.getDouble(4)))
+      .toSet
+    val got = key(spark.table("ss_join"))
+    val want = key(Streams.intervalJoin(
+      lb, rb, "ad_id", "ts", watermark = "1 hour", bound = "10 minutes"))
+    assert(got == want, s"got $got want $want")
+    // by hand: only ad 1's two in-bound clicks survive
+    assert(got.map(t => (t._1, t._5)) == Set((1L, 1.0), (1L, 2.0)), s"got $got")
+  }
+
   test("streaming dedup drops in-horizon duplicate ids, keeps first") {
     val dir = Files.createTempDirectory("graft-stream-dedup").toString
     val out = Streams.dedupByKey(

@@ -374,6 +374,35 @@ object Oracles {
     out.filter { case (k, _) => !existing.contains(k) }.toMap
   }
 
+  /** K-truss by synchronous peeling: each round computes every edge's
+    * support (common neighbors WITHIN the current edge set) and drops
+    * all edges below k-2 at once, to the fixpoint. Mirrors
+    * [[graft.algos.KTruss]]'s Scaladoc semantics exactly.
+    */
+  def ktruss(
+      edges: Seq[(Long, Long, Double)],
+      k: Int,
+  ): Set[(Long, Long)] = {
+    var cur = edges
+      .map { case (s, t, _) => (math.min(s, t), math.max(s, t)) }
+      .filter { case (a, b) => a != b }
+      .toSet
+    var stable = false
+    while (!stable && cur.nonEmpty) {
+      val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+      cur.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, mutable.Set.empty) += a
+      }
+      val next = cur.filter { case (a, b) =>
+        adj(a).intersect(adj(b)).size >= k - 2
+      }
+      stable = next == cur
+      cur = next
+    }
+    cur
+  }
+
   /** Newman modularity of a vertex partition over the simple undirected
     * graph: Q = A/m - B/(4m²) with A = within-community edges,
     * B = Σ_c (Σ_{v∈c} deg v)², m = |undirected edges|.
