@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Eigen, KCore, KTruss, LabelProp, LinkPred, Modularity, PageRank, Ppr, Sssp, Triangles, Wcc}
+import graft.algos.{Bfs, Eigen, KCore, KTruss, LabelProp, LinkPred, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
@@ -179,6 +179,15 @@ object SparkEntry {
     // sf0.01: 181 of 3445 edges survive
     "q_ktruss" -> { (s, d) =>
       KTruss.run(partEdgeDs(s, d).filter(col("weight") >= 2.0), k = 3).edges
+    },
+    // deterministic random-walk corpus (DeepWalk input): 4 hash-indexed
+    // steps per vid%20==0 seed over the weight>=2 subgraph; the pluggable
+    // sketch hash makes every step replayable in the DuckDB oracle
+    // (portable mode), exactly like the minhash/LSH pipelines
+    "q_walks" -> { (s, d) =>
+      val edges = partEdgeDs(s, d).filter(col("weight") >= 2.0)
+      val seeds = Superstep.vertices(edges).where(col("vid") % 20 === 0)
+      Walks.run(edges, seeds, steps = 4, maxNbrs = 64, hash = sketchHash)
     },
     // eigenvector centrality: 8 L1-normalized power-iteration steps over
     // the symmetrized graph; same e7 quantization contract as the rank
@@ -906,6 +915,36 @@ object SparkEntry {
            |      - CAST(bsum AS DOUBLE) / (4.0 * m * m)) * 1e7) AS BIGINT)
            |  END AS q_e7
            |FROM mm, aw, bb""".stripMargin,
+      // deterministic random walks — each unrolled step picks
+      // nbrs[(portableHash("wid,t,cur") % len) + 1] from the per-vertex
+      // sorted, 64-capped neighbor list (the cap is part of the
+      // operator's semantics; the rank filter mirrors Walks.maxNbrs)
+      "q_walks" -> {
+        def wIter(prev: String, t: Int): String =
+          s"""w$t AS MATERIALIZED (
+             |  SELECT w.wid, list_extract(n.nbrs,
+             |    ((${ph(s"w.wid || ',' || $t || ',' || w.cur")})
+             |      % len(n.nbrs)) + 1) AS cur
+             |  FROM $prev w JOIN nbr n ON w.cur = n.src)""".stripMargin
+        val chain = (1 to 4).map(t => wIter(s"w${t - 1}", t)).mkString(",\n")
+        val unions = (1 to 4)
+          .map(t => s"UNION ALL SELECT wid, $t, cur FROM w$t")
+          .mkString("\n")
+        s"""WITH $edgesCte,
+           |e2 AS (SELECT src, dst FROM e WHERE weight >= 2),
+           |sym AS (SELECT src, dst FROM e2
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
+           |nbr AS MATERIALIZED (
+           |  SELECT src, list(dst ORDER BY dst) AS nbrs FROM (
+           |    SELECT src, dst,
+           |      row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+           |    FROM sym) t WHERE rn <= 64 GROUP BY src),
+           |w0 AS MATERIALIZED (
+           |  SELECT src AS wid, src AS cur FROM nbr WHERE src % 20 = 0),
+           |$chain
+           |SELECT wid, CAST(0 AS INT) AS step, wid AS vid FROM w0
+           |$unions""".stripMargin
+      },
       // k-truss (k=3) — 8 unrolled synchronous peeling rounds over the
       // weight>=2 subgraph: per round, each edge's support = triangles
       // through it in the CURRENT edge set (the canonical a<b<c 3-way

@@ -213,6 +213,92 @@ class GraphExtrasSpec extends GraftSuite {
     assert(trussEdges(Seq.empty, 3).isEmpty)
   }
 
+  // ---- deterministic random walks ----
+
+  /** Plain-Scala mirror of Hash64.Portable.one over a string: low 60
+    * bits of md5 (hex chars 18..32, 1-based) — kept in lockstep with the
+    * Spark/DuckDB forms by the cross-engine golden below.
+    */
+  private def md5PortableHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(17, 32), 16)
+  }
+
+  private def walksOracle(
+      g: Seq[(Long, Long, Double)],
+      seeds: Seq[Long],
+      steps: Int,
+      maxNbrs: Int,
+  ): Set[(Long, Int, Long)] = {
+    val adj = g
+      .flatMap { case (a, b, _) =>
+        if (a == b) Nil else Seq(a -> b, b -> a)
+      }
+      .distinct
+      .groupBy(_._1)
+      .map { case (v, ns) => v -> ns.map(_._2).sorted.take(maxNbrs).toVector }
+    seeds.distinct.filter(adj.contains).flatMap { s0 =>
+      var cur = s0
+      val rows = Seq.newBuilder[(Long, Int, Long)]
+      rows += ((s0, 0, s0))
+      (1 to steps).foreach { t =>
+        val nbrs = adj(cur)
+        val h = md5PortableHash(s"$s0,$t,$cur")
+        cur = nbrs((h % nbrs.size).toInt)
+        rows += ((s0, t, cur))
+      }
+      rows.result()
+    }.toSet
+  }
+
+  private def runWalks(
+      g: Seq[(Long, Long, Double)],
+      seeds: Seq[Long],
+      steps: Int,
+      maxNbrs: Int,
+      hash: graft.functions.Hash64,
+  ): Set[(Long, Int, Long)] =
+    graft.algos.Walks
+      .run(edgeDs(g), seeds.toDF("vid"), steps, maxNbrs, hash)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+
+  test("walks (portable hash) replay the plain-Scala md5 oracle exactly") {
+    Seq(23L, 47L).foreach { seed =>
+      val g = seededRandomGraph(seed, 25, 70)
+      val seeds = Oracles.verticesOf(g).filter(_ % 3 == 0)
+      Seq(64, 2).foreach { cap => // uncapped-ish + a cap that bites
+        val got = runWalks(g, seeds, steps = 5, cap, graft.functions.Hash64.Portable)
+        val want = walksOracle(g, seeds, steps = 5, cap)
+        assert(got == want, s"seed $seed cap $cap")
+      }
+    }
+  }
+
+  test("walks (xxhash64) are valid paths, full length, and deterministic") {
+    val g = Fixtures.twoCliquesBridge
+    val seeds = Seq(1L, 6L, 999L) // 999 absent from the graph
+    val got = runWalks(g, seeds, steps = 6, 64, graft.functions.Hash64.Xx)
+    val und = g.map { case (a, b, _) =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    val byWalk = got.groupBy(_._1)
+    assert(byWalk.keySet == Set(1L, 6L)) // absent seed produces nothing
+    byWalk.foreach { case (wid, rows) =>
+      val path = rows.toSeq.sortBy(_._2).map(_._3)
+      assert(path.length == 7 && path.head == wid)
+      path.sliding(2).foreach { case Seq(x, y) =>
+        assert(und.contains((math.min(x, y), math.max(x, y))),
+          s"walk $wid stepped off an edge: $x -> $y")
+      }
+    }
+    val again = runWalks(g, seeds, steps = 6, 64, graft.functions.Hash64.Xx)
+    assert(got == again)
+  }
+
   // ---- plan pins (PlanShapeSpec style) ----
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
