@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Eigen, KCore, KTruss, LabelProp, LinkPred, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
+import graft.algos.{Bfs, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
@@ -179,6 +179,17 @@ object SparkEntry {
     // sf0.01: 181 of 3445 edges survive
     "q_ktruss" -> { (s, d) =>
       KTruss.run(partEdgeDs(s, d).filter(col("weight") >= 2.0), k = 3).edges
+    },
+    // HyperBall 4-round neighborhood sketches over the weight>=2
+    // subgraph: per-vertex HLL registers (exact-match integers through
+    // the pluggable hash) + the raw-estimator ball size, one double
+    // division e7-quantized — approximate value, deterministic bits
+    "q_hyperball" -> { (s, d) =>
+      HyperBall.run(
+        partEdgeDs(s, d).filter(col("weight") >= 2.0),
+        rounds = 4,
+        hash = sketchHash,
+      ).estimates
     },
     // deterministic random-walk corpus (DeepWalk input): 4 hash-indexed
     // steps per vid%20==0 seed over the weight>=2 subgraph; the pluggable
@@ -915,6 +926,48 @@ object SparkEntry {
            |      - CAST(bsum AS DOUBLE) / (4.0 * m * m)) * 1e7) AS BIGINT)
            |  END AS q_e7
            |FROM mm, aw, bb""".stripMargin,
+      // HyperBall — relational HLL registers: init from the portable
+      // hash (idx = low 4 bits, rho = 1 + trailing zeros of the rest,
+      // the SAME integer-mask chain the engine evaluates), 4 unrolled
+      // max-merge rounds, estimator in exact scaled-integer arithmetic
+      // up to one double division (see HyperBall's Scaladoc)
+      "q_hyperball" -> {
+        val mask = (1L << 60) - 1
+        val rhoCase = {
+          val whens = (1 to 56)
+            .map(r => s"WHEN (q & ${(1L << r) - 1}) = ${1L << (r - 1)} THEN $r")
+            .mkString(" ")
+          s"CASE WHEN q = 0 THEN 57 $whens ELSE 57 END"
+        }
+        def hbIter(prev: String, i: Int): String =
+          s"""r$i AS MATERIALIZED (
+             |  SELECT vid, idx, max(val) AS val FROM (
+             |    SELECT s.dst AS vid, r.idx, r.val
+             |    FROM sym s JOIN $prev r ON s.src = r.vid
+             |    UNION ALL SELECT vid, idx, val FROM $prev
+             |  ) GROUP BY 1, 2)""".stripMargin
+        val chain = (1 to 4).map(i => hbIter(s"r${i - 1}", i)).mkString(",\n")
+        s"""WITH $edgesCte,
+           |e2 AS (SELECT src, dst FROM e WHERE weight >= 2),
+           |sym AS MATERIALIZED (SELECT src, dst FROM e2
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
+           |verts AS (SELECT DISTINCT src AS vid FROM sym),
+           |h0 AS (SELECT vid,
+           |  (${ph("CAST(vid AS VARCHAR)")}) & $mask AS h FROM verts),
+           |q0 AS (SELECT vid, CAST((h & 15) AS INT) AS idx,
+           |  (h >> 4) AS q FROM h0),
+           |r0 AS MATERIALIZED (SELECT vid, idx, $rhoCase AS val FROM q0),
+           |$chain,
+           |agg AS (SELECT vid, count(*) AS present,
+           |  CAST(sum((CAST(1 AS BIGINT) << (58 - val))) AS BIGINT) AS sp
+           |  FROM r4 GROUP BY vid)
+           |SELECT vid, present,
+           |  sp + (16 - present) * (CAST(1 AS BIGINT) << 58) AS s_scaled,
+           |  CAST(round(0.673 * 73786976294838206464.0
+           |    / CAST(sp + (16 - present) * (CAST(1 AS BIGINT) << 58) AS DOUBLE)
+           |    * 1e7) AS BIGINT) AS est_e7
+           |FROM agg""".stripMargin
+      },
       // deterministic random walks — each unrolled step picks
       // nbrs[(portableHash("wid,t,cur") % len) + 1] from the per-vertex
       // sorted, 64-capped neighbor list (the cap is part of the

@@ -1,0 +1,140 @@
+package graft.algos
+
+import graft._
+import graft.functions.Hash64
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+final case class HyperBallResult(
+    sketches: DataFrame, // (vid, idx, val) — sparse HLL registers
+    estimates: DataFrame, // (vid, present, s_scaled, est_e7)
+    rounds: Int,
+)
+
+/** Approximate neighborhood function via HyperBall (Boldi & Vigna,
+  * "In-Core Computation of Geometric Centralities with HyperBall",
+  * 2013): after t rounds, each vertex holds a HyperLogLog sketch of its
+  * distance-≤t ball, from which ball sizes — and from their growth, the
+  * effective diameter — are estimated at 16 registers per vertex
+  * instead of a per-vertex visited set. THE technique for "how connected
+  * is this graph" at 10^12 edges, where exact neighborhood functions are
+  * hopeless.
+  *
+  * Determinism contract (BASELINE.json:14 applied to an approximate
+  * algorithm): the SKETCH is deterministic even though the estimate is
+  * approximate. Register init comes from the pluggable [[Hash64]]
+  * (portable mode replays in DuckDB), merges are elementwise integer
+  * max (order-free), and the estimator is evaluated in EXACT integer
+  * arithmetic up to one final double division:
+  *
+  *   S_scaled(v) = Σ_j 2^(58 − reg_j)   (empty register ⇒ 2^58),
+  *   est(v)      = α₁₆·m² / Σ 2^(−reg_j) = 172.288 · 2^58 / S_scaled
+  *
+  * with reg values in [1, 57] so every 2^(58−reg) is an exact BIGINT
+  * and S_scaled ≤ 16·2^57 < 2^63. The raw HLL estimator is used
+  * deliberately — the standard small-range linear-counting correction
+  * needs ln(), which is not bit-portable across engines; the register
+  * table itself is the exact-match surface, the estimate a derived
+  * column.
+  *
+  * Execution shape: registers are SPARSE (vid, idx, val) rows — a
+  * vertex's absent registers are zero, so a fresh vertex carries ONE
+  * row, and a t-ball sketch at most 16. One superstep = scatter the
+  * rows along edges + union the previous state + ONE repartition by
+  * vid; the (vid, idx) max-aggregate needs no further exchange because
+  * hash(vid) already clusters (vid, idx) — the exact plan shape of the
+  * label-propagation superstep.
+  */
+object HyperBall {
+
+  /** m = 16 registers (regBits = 4); α₁₆ = 0.673 (Flajolet et al. 2007). */
+  val Registers = 16
+  val Alpha16 = 0.673
+  val MaxRho = 57 // 56 payload bits after the 4 index bits, +1 sentinel
+
+  /** rho(q) = 1 + trailing zeros of q, capped for q = 0 — a when-chain of
+    * pure integer masks so DuckDB evaluates it bit-identically.
+    */
+  private def rho(q: Column): Column = {
+    val base = when(q === 0L, lit(MaxRho))
+    (1 to MaxRho - 1).foldLeft(base) { (acc, r) =>
+      acc.when(
+        q.bitwiseAND(lit((1L << r) - 1L)) === lit(1L << (r - 1)),
+        lit(r),
+      )
+    }.otherwise(lit(MaxRho))
+  }
+
+  def run(
+      edges: Dataset[Edge],
+      rounds: Int,
+      hash: Hash64 = Hash64.Xx,
+  ): HyperBallResult = Superstep.withAqeOff(edges.sparkSession) {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val base = EdgeBuilder.symmetrize(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.build(base, p, Csr.WeightMode.One)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVerts = Superstep.vertices(base).count()
+
+    // each vertex inserts ITSELF into its own sketch: index = low 4 hash
+    // bits, rho over the remaining bits (shift, not divide — a double
+    // division would lose bits past 2^53). Portable hashes are >= 0;
+    // xxhash64 can be negative, so mask to 60 bits first on BOTH paths.
+    val h = hash.one(col("vid")).bitwiseAND(lit((1L << 60) - 1L))
+    var state: DataFrame = Superstep.cut(
+      Superstep.vertices(base)
+        .select(
+          col("vid"),
+          h.bitwiseAND(lit(15L)).cast("int").as("idx"),
+          rho(shiftright(h, 4)).as("val"),
+        ),
+      nVerts,
+    )
+    var iter = 0
+    while (iter < rounds) {
+      val msgs = Superstep
+        .scatter(adj, state)
+        .select(col("vid"), col("idx"), col("val"))
+      val merged = msgs
+        .unionByName(state)
+        .repartition(p, col("vid")) // the ONE exchange of the superstep
+        .groupBy("vid", "idx") // hash(vid) clusters (vid, idx): no re-exchange
+        .agg(max("val").as("val"))
+      state = Superstep.cut(merged, nVerts * Registers)
+      iter += 1
+    }
+    val estimates = state
+      .groupBy("vid")
+      .agg(
+        count(lit(1)).as("present"),
+        // shiftleft(Column, Int) has no column-shift overload — SQL form
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 58 - val)")).as("sp"),
+      )
+      .select(
+        col("vid"),
+        col("present"),
+        (col("sp") + (lit(16L) - col("present")) * lit(1L << 58))
+          .as("s_scaled"),
+      )
+      .select(
+        col("vid"),
+        col("present"),
+        col("s_scaled"),
+        // α₁₆·m²/Σ2^-reg = 0.673·256·2^58/S_scaled; 256·2^58 = 2^66 is
+        // exact in double, and the op order (fold α·2^66, divide, scale)
+        // mirrors the oracle SQL token-for-token
+        round(
+          lit(Alpha16) * lit((1L << 58).toDouble * 256.0) /
+            col("s_scaled").cast("double") * 1e7,
+          0,
+        ).cast("long").as("est_e7"),
+      )
+    adj.unpersist(false)
+    base.unpersist(false)
+    HyperBallResult(state, estimates, iter)
+  }
+}

@@ -299,6 +299,84 @@ class GraphExtrasSpec extends GraftSuite {
     assert(got == again)
   }
 
+  // ---- HyperBall neighborhood sketches ----
+
+  /** Plain-Scala HyperBall: same portable hash, same register init
+    * (idx = low 4 bits, rho = 1 + trailing zeros), max-merge rounds over
+    * N(v) ∪ {v}. Returns vid -> (present, s_scaled).
+    */
+  private def hyperballOracle(
+      g: Seq[(Long, Long, Double)],
+      rounds: Int,
+  ): Map[Long, (Long, Long)] = {
+    val adj = g
+      .flatMap { case (a, b, _) =>
+        if (a == b) Nil else Seq(a -> b, b -> a)
+      }
+      .distinct.groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2) }
+    val verts = adj.keySet
+    var regs: Map[Long, Map[Int, Int]] = verts.map { v =>
+      val h = md5PortableHash(v.toString) & ((1L << 60) - 1)
+      val idx = (h & 15L).toInt
+      val q = h >> 4
+      val rho =
+        if (q == 0L) 57
+        else math.min(java.lang.Long.numberOfTrailingZeros(q) + 1, 57)
+      v -> Map(idx -> rho)
+    }.toMap
+    (1 to rounds).foreach { _ =>
+      regs = verts.map { v =>
+        val merged = scala.collection.mutable.Map.empty[Int, Int]
+        (adj(v) :+ v).foreach { u =>
+          regs(u).foreach { case (i, r) =>
+            if (merged.getOrElse(i, 0) < r) merged(i) = r
+          }
+        }
+        v -> merged.toMap
+      }.toMap
+    }
+    regs.map { case (v, m) =>
+      val sp = m.values.map(r => 1L << (58 - r)).sum
+      v -> (m.size.toLong, sp + (16L - m.size) * (1L << 58))
+    }
+  }
+
+  test("hyperball (portable hash) registers match the plain-Scala oracle") {
+    Seq(67L, 83L).foreach { seed =>
+      val g = seededRandomGraph(seed, 30, 80)
+      val r = graft.algos.HyperBall
+        .run(edgeDs(g), rounds = 3, graft.functions.Hash64.Portable)
+      val got = r.estimates.collect()
+        .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2), row.getLong(3)))
+        .toMap
+      val want = hyperballOracle(g, 3)
+      assert(got.keySet == want.keySet, s"seed $seed vertex sets")
+      want.foreach { case (v, (present, s)) =>
+        val (gp, gs, ge) = got(v)
+        assert(gp == present && gs == s, s"seed $seed vid $v registers")
+        val est = math.round(
+          0.673 * ((1L << 58).toDouble * 256.0) / s.toDouble * 1e7)
+        assert(math.abs(ge - est) <= 1, s"seed $seed vid $v est")
+      }
+    }
+  }
+
+  test("hyperball estimates grow with radius and land near truth on a clique") {
+    // K5+K5+bridge: by round 2 every vertex's ball is the whole graph
+    val g = Fixtures.twoCliquesBridge
+    def ests(rounds: Int) = graft.algos.HyperBall
+      .run(edgeDs(g), rounds, graft.functions.Hash64.Xx)
+      .estimates.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val e1 = ests(1)
+    val e3 = ests(3)
+    e1.foreach { case (v, e) => assert(e3(v) >= e, s"vid $v shrank") }
+    // raw HLL with m=16 is coarse (σ ≈ 26%, no small-range correction):
+    // assert the 10-vertex truth within a generous band, not precision
+    e3.values.foreach { e =>
+      assert(e > 10L * 1e7 / 4 && e < 10L * 1e7 * 4, s"est_e7 $e")
+    }
+  }
+
   // ---- plan pins (PlanShapeSpec style) ----
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
