@@ -191,6 +191,19 @@ object SparkEntry {
         hash = sketchHash,
       ).estimates
     },
+    // harmonic centrality over the same subgraph — HyperBall's headline
+    // application (Σ_t Δball(t)/t per vertex): every per-round ball
+    // estimate is the q_hyperball BIGINT, and the 1/t weights are
+    // cleared by L = lcm(1..4) = 12 and telescoped to exact integer
+    // coefficients (−12, 6, 2, 1, 3), so hc12_e7 is bit-exact
+    "q_harmonic" -> { (s, d) =>
+      HyperBall.harmonic(
+        partEdgeDs(s, d).filter(col("weight") >= 2.0),
+        rounds = 4,
+        hash = sketchHash,
+      ).centralities
+        .select(col("vid"), col("ball_e7"), col("hc_scaled").as("hc12_e7"))
+    },
     // deterministic random-walk corpus (DeepWalk input): 4 hash-indexed
     // steps per vid%20==0 seed over the weight>=2 subgraph; the pluggable
     // sketch hash makes every step replayable in the DuckDB oracle
@@ -858,6 +871,40 @@ object SparkEntry {
          |SELECT vid, count(*) AS degree,
          |       CAST(sum(weight) AS BIGINT) AS wdegree
          |FROM u GROUP BY 1""".stripMargin
+    // HyperBall register chain over the weight>=2 subgraph — relational
+    // HLL: init from the portable hash (idx = low 4 bits, rho = 1 +
+    // trailing zeros of the rest, the SAME integer-mask chain the engine
+    // evaluates), then 4 unrolled max-merge rounds r1..r4. Shared by
+    // q_hyperball (final-round estimates) and q_harmonic (per-round
+    // estimates telescoped into harmonic centrality).
+    val hyperballChainCtes: String = {
+      val mask = (1L << 60) - 1
+      val rhoCase = {
+        val whens = (1 to 56)
+          .map(r => s"WHEN (q & ${(1L << r) - 1}) = ${1L << (r - 1)} THEN $r")
+          .mkString(" ")
+        s"CASE WHEN q = 0 THEN 57 $whens ELSE 57 END"
+      }
+      def hbIter(prev: String, i: Int): String =
+        s"""r$i AS MATERIALIZED (
+           |  SELECT vid, idx, max(val) AS val FROM (
+           |    SELECT s.dst AS vid, r.idx, r.val
+           |    FROM sym s JOIN $prev r ON s.src = r.vid
+           |    UNION ALL SELECT vid, idx, val FROM $prev
+           |  ) GROUP BY 1, 2)""".stripMargin
+      val chain = (1 to 4).map(i => hbIter(s"r${i - 1}", i)).mkString(",\n")
+      s"""$edgesCte,
+         |e2 AS (SELECT src, dst FROM e WHERE weight >= 2),
+         |sym AS MATERIALIZED (SELECT src, dst FROM e2
+         |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
+         |verts AS (SELECT DISTINCT src AS vid FROM sym),
+         |h0 AS (SELECT vid,
+         |  (${ph("CAST(vid AS VARCHAR)")}) & $mask AS h FROM verts),
+         |q0 AS (SELECT vid, CAST((h & 15) AS INT) AS idx,
+         |  (h >> 4) AS q FROM h0),
+         |r0 AS MATERIALIZED (SELECT vid, idx, $rhoCase AS val FROM q0),
+         |$chain""".stripMargin
+    }
     Map(
       "q_edges" ->
         s"WITH $edgesCte SELECT src, dst, weight FROM e",
@@ -931,33 +978,8 @@ object SparkEntry {
       // the SAME integer-mask chain the engine evaluates), 4 unrolled
       // max-merge rounds, estimator in exact scaled-integer arithmetic
       // up to one double division (see HyperBall's Scaladoc)
-      "q_hyperball" -> {
-        val mask = (1L << 60) - 1
-        val rhoCase = {
-          val whens = (1 to 56)
-            .map(r => s"WHEN (q & ${(1L << r) - 1}) = ${1L << (r - 1)} THEN $r")
-            .mkString(" ")
-          s"CASE WHEN q = 0 THEN 57 $whens ELSE 57 END"
-        }
-        def hbIter(prev: String, i: Int): String =
-          s"""r$i AS MATERIALIZED (
-             |  SELECT vid, idx, max(val) AS val FROM (
-             |    SELECT s.dst AS vid, r.idx, r.val
-             |    FROM sym s JOIN $prev r ON s.src = r.vid
-             |    UNION ALL SELECT vid, idx, val FROM $prev
-             |  ) GROUP BY 1, 2)""".stripMargin
-        val chain = (1 to 4).map(i => hbIter(s"r${i - 1}", i)).mkString(",\n")
-        s"""WITH $edgesCte,
-           |e2 AS (SELECT src, dst FROM e WHERE weight >= 2),
-           |sym AS MATERIALIZED (SELECT src, dst FROM e2
-           |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
-           |verts AS (SELECT DISTINCT src AS vid FROM sym),
-           |h0 AS (SELECT vid,
-           |  (${ph("CAST(vid AS VARCHAR)")}) & $mask AS h FROM verts),
-           |q0 AS (SELECT vid, CAST((h & 15) AS INT) AS idx,
-           |  (h >> 4) AS q FROM h0),
-           |r0 AS MATERIALIZED (SELECT vid, idx, $rhoCase AS val FROM q0),
-           |$chain,
+      "q_hyperball" ->
+        s"""WITH $hyperballChainCtes,
            |agg AS (SELECT vid, count(*) AS present,
            |  CAST(sum((CAST(1 AS BIGINT) << (58 - val))) AS BIGINT) AS sp
            |  FROM r4 GROUP BY vid)
@@ -966,7 +988,30 @@ object SparkEntry {
            |  CAST(round(0.673 * 73786976294838206464.0
            |    / CAST(sp + (16 - present) * (CAST(1 AS BIGINT) << 58) AS DOUBLE)
            |    * 1e7) AS BIGINT) AS est_e7
-           |FROM agg""".stripMargin
+           |FROM agg""".stripMargin,
+      // harmonic centrality — the same register chain, one ball estimate
+      // per round r0..r4, then the telescoped integer combination
+      // −12·e0 + 6·e1 + 2·e2 + 1·e3 + 3·e4 (L = lcm(1..4) = 12); every
+      // est is the q_hyperball BIGINT, so the sum is exact cross-engine
+      "q_harmonic" -> {
+        def estCte(t: Int): String =
+          s"""est$t AS (SELECT vid,
+             |  CAST(round(0.673 * 73786976294838206464.0
+             |    / CAST(sp + (16 - present) * (CAST(1 AS BIGINT) << 58) AS DOUBLE)
+             |    * 1e7) AS BIGINT) AS est
+             |  FROM (SELECT vid, count(*) AS present,
+             |    CAST(sum((CAST(1 AS BIGINT) << (58 - val))) AS BIGINT) AS sp
+             |    FROM r$t GROUP BY vid))""".stripMargin
+        val ests = (0 to 4).map(estCte).mkString(",\n")
+        s"""WITH $hyperballChainCtes,
+           |$ests
+           |SELECT e0.vid, e4.est AS ball_e7,
+           |  (-12)*e0.est + 6*e1.est + 2*e2.est + 1*e3.est + 3*e4.est
+           |    AS hc12_e7
+           |FROM est0 e0 JOIN est1 e1 ON e0.vid = e1.vid
+           |JOIN est2 e2 ON e0.vid = e2.vid
+           |JOIN est3 e3 ON e0.vid = e3.vid
+           |JOIN est4 e4 ON e0.vid = e4.vid""".stripMargin
       },
       // deterministic random walks — each unrolled step picks
       // nbrs[(portableHash("wid,t,cur") % len) + 1] from the per-vertex

@@ -11,6 +11,14 @@ final case class HyperBallResult(
     rounds: Int,
 )
 
+final case class HarmonicResult(
+    // (vid, ball_e7, hc_scaled) — hc_scaled = Σ_t Δball_e7(t) · L/t,
+    // an exact BIGINT with L = lcm(1..rounds)
+    centralities: DataFrame,
+    rounds: Int,
+    scale: Long, // L — divide hc_scaled by L·1e7 for the real-valued HC
+)
+
 /** Approximate neighborhood function via HyperBall (Boldi & Vigna,
   * "In-Core Computation of Geometric Centralities with HyperBall",
   * 2013): after t rounds, each vertex holds a HyperLogLog sketch of its
@@ -107,34 +115,143 @@ object HyperBall {
       state = Superstep.cut(merged, nVerts * Registers)
       iter += 1
     }
-    val estimates = state
-      .groupBy("vid")
-      .agg(
-        count(lit(1)).as("present"),
-        // shiftleft(Column, Int) has no column-shift overload — SQL form
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 58 - val)")).as("sp"),
-      )
-      .select(
-        col("vid"),
-        col("present"),
-        (col("sp") + (lit(16L) - col("present")) * lit(1L << 58))
-          .as("s_scaled"),
-      )
-      .select(
-        col("vid"),
-        col("present"),
-        col("s_scaled"),
-        // α₁₆·m²/Σ2^-reg = 0.673·256·2^58/S_scaled; 256·2^58 = 2^66 is
-        // exact in double, and the op order (fold α·2^66, divide, scale)
-        // mirrors the oracle SQL token-for-token
-        round(
-          lit(Alpha16) * lit((1L << 58).toDouble * 256.0) /
-            col("s_scaled").cast("double") * 1e7,
-          0,
-        ).cast("long").as("est_e7"),
-      )
+    val estimates = estimateFrame(state)
     adj.unpersist(false)
     base.unpersist(false)
     HyperBallResult(state, estimates, iter)
+  }
+
+  /** Ball-size estimate per vertex from a sparse register state:
+    * (vid, present, s_scaled, est_e7). Exact integer arithmetic up to
+    * the one double division (see the object Scaladoc).
+    */
+  private def estimateFrame(state: DataFrame): DataFrame = state
+    .groupBy("vid")
+    .agg(
+      count(lit(1)).as("present"),
+      // shiftleft(Column, Int) has no column-shift overload — SQL form
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 58 - val)")).as("sp"),
+    )
+    .select(
+      col("vid"),
+      col("present"),
+      (col("sp") + (lit(16L) - col("present")) * lit(1L << 58))
+        .as("s_scaled"),
+    )
+    .select(
+      col("vid"),
+      col("present"),
+      col("s_scaled"),
+      // α₁₆·m²/Σ2^-reg = 0.673·256·2^58/S_scaled; 256·2^58 = 2^66 is
+      // exact in double, and the op order (fold α·2^66, divide, scale)
+      // mirrors the oracle SQL token-for-token
+      round(
+        lit(Alpha16) * lit((1L << 58).toDouble * 256.0) /
+          col("s_scaled").cast("double") * 1e7,
+        0,
+      ).cast("long").as("est_e7"),
+    )
+
+  /** Harmonic centrality — THE application HyperBall was built for
+    * (Boldi & Vigna 2013, §4: "Geometric Centralities"):
+    *
+    *   HC(v) = Σ_{t=1..T} (|B(v,t)| − |B(v,t−1)|) / t
+    *
+    * i.e. every vertex reachable within T hops contributes 1/distance.
+    * Exact HC needs all-pairs distances; HyperBall's per-round ball
+    * estimates make it O(T) supersteps at 16 registers a vertex.
+    *
+    * Determinism: registers only grow, so s_scaled is non-increasing and
+    * est_e7 non-decreasing per round — each round's est_e7 is a BIGINT
+    * (one rounded double division, the q_hyperball contract). The 1/t
+    * weights are cleared by L = lcm(1..T) and the sum telescoped to
+    * integer coefficients
+    *
+    *   hc_scaled = Σ_{t=0..T} c_t · est_e7(t),
+    *   c_0 = −L, c_t = L/t − L/(t+1) (0<t<T), c_T = L/T
+    *
+    * so hc_scaled is EXACT cross-engine (commutative BIGINT adds; true
+    * HC ≈ hc_scaled / (L·1e7)). Safe while ball estimates stay below
+    * ~9e11 (est_e7·L under 2^63) — at 10^12 vertices switch L out for a
+    * double sum and a tolerance contract.
+    *
+    * Cost on top of [[run]]: one |V|-row estimate aggregate per round —
+    * O(T·|V|) next to the scatter's O(T·|E|), and each aggregate reads a
+    * state that is already hash-partitioned by vid (no extra exchange
+    * for the grouping's first key).
+    */
+  def harmonic(
+      edges: Dataset[Edge],
+      rounds: Int,
+      hash: Hash64 = Hash64.Xx,
+  ): HarmonicResult = Superstep.withAqeOff(edges.sparkSession) {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val base = EdgeBuilder.symmetrize(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.build(base, p, Csr.WeightMode.One)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVerts = Superstep.vertices(base).count()
+
+    val l = (1 to rounds).foldLeft(1L)((acc, t) => lcm(acc, t.toLong))
+    def coef(t: Int): Long =
+      if (t == 0) -l
+      else if (t == rounds) l / rounds
+      else l / t - l / (t + 1)
+
+    val h = hash.one(col("vid")).bitwiseAND(lit((1L << 60) - 1L))
+    var state: DataFrame = Superstep.cut(
+      Superstep.vertices(base)
+        .select(
+          col("vid"),
+          h.bitwiseAND(lit(15L)).cast("int").as("idx"),
+          rho(shiftright(h, 4)).as("val"),
+        ),
+      nVerts,
+    )
+    // per-round estimate frames read the round's CUT state (already
+    // materialized), so collecting them lazily costs nothing extra
+    var perRound = Vector(estimateFrame(state).select(
+      col("vid"),
+      col("est_e7"),
+      lit(coef(0)).as("c"),
+      lit(0).as("t"),
+    ))
+    var iter = 0
+    while (iter < rounds) {
+      val msgs = Superstep
+        .scatter(adj, state)
+        .select(col("vid"), col("idx"), col("val"))
+      val merged = msgs
+        .unionByName(state)
+        .repartition(p, col("vid"))
+        .groupBy("vid", "idx")
+        .agg(max("val").as("val"))
+      state = Superstep.cut(merged, nVerts * Registers)
+      iter += 1
+      perRound :+= estimateFrame(state).select(
+        col("vid"),
+        col("est_e7"),
+        lit(coef(iter)).as("c"),
+        lit(iter).as("t"),
+      )
+    }
+    val centralities = perRound.reduce(_ unionByName _)
+      .groupBy("vid")
+      .agg(
+        max(when(col("t") === rounds, col("est_e7"))).as("ball_e7"),
+        sum(col("est_e7") * col("c")).as("hc_scaled"),
+      )
+    adj.unpersist(false)
+    base.unpersist(false)
+    HarmonicResult(centralities, rounds, l)
+  }
+
+  private def lcm(a: Long, b: Long): Long = {
+    @annotation.tailrec def gcd(x: Long, y: Long): Long =
+      if (y == 0) x else gcd(y, x % y)
+    a / gcd(a, b) * b
   }
 }

@@ -305,10 +305,11 @@ class GraphExtrasSpec extends GraftSuite {
     * (idx = low 4 bits, rho = 1 + trailing zeros), max-merge rounds over
     * N(v) ∪ {v}. Returns vid -> (present, s_scaled).
     */
-  private def hyperballOracle(
+  /** Register states per round t = 0..rounds. */
+  private def hyperballRegsPerRound(
       g: Seq[(Long, Long, Double)],
       rounds: Int,
-  ): Map[Long, (Long, Long)] = {
+  ): Vector[Map[Long, Map[Int, Int]]] = {
     val adj = g
       .flatMap { case (a, b, _) =>
         if (a == b) Nil else Seq(a -> b, b -> a)
@@ -324,6 +325,7 @@ class GraphExtrasSpec extends GraftSuite {
         else math.min(java.lang.Long.numberOfTrailingZeros(q) + 1, 57)
       v -> Map(idx -> rho)
     }.toMap
+    var out = Vector(regs)
     (1 to rounds).foreach { _ =>
       regs = verts.map { v =>
         val merged = scala.collection.mutable.Map.empty[Int, Int]
@@ -334,12 +336,21 @@ class GraphExtrasSpec extends GraftSuite {
         }
         v -> merged.toMap
       }.toMap
+      out :+= regs
     }
-    regs.map { case (v, m) =>
-      val sp = m.values.map(r => 1L << (58 - r)).sum
-      v -> (m.size.toLong, sp + (16L - m.size) * (1L << 58))
-    }
+    out
   }
+
+  private def sScaled(m: Map[Int, Int]): Long =
+    m.values.map(r => 1L << (58 - r)).sum + (16L - m.size) * (1L << 58)
+
+  private def hyperballOracle(
+      g: Seq[(Long, Long, Double)],
+      rounds: Int,
+  ): Map[Long, (Long, Long)] =
+    hyperballRegsPerRound(g, rounds).last.map { case (v, m) =>
+      v -> (m.size.toLong, sScaled(m))
+    }
 
   test("hyperball (portable hash) registers match the plain-Scala oracle") {
     Seq(67L, 83L).foreach { seed =>
@@ -358,6 +369,30 @@ class GraphExtrasSpec extends GraftSuite {
           0.673 * ((1L << 58).toDouble * 256.0) / s.toDouble * 1e7)
         assert(math.abs(ge - est) <= 1, s"seed $seed vid $v est")
       }
+    }
+  }
+
+  test("harmonic centrality matches the telescoped plain-Scala oracle") {
+    def est(s: Long): Long = math.round(
+      0.673 * ((1L << 58).toDouble * 256.0) / s.toDouble * 1e7)
+    Seq(67L, 101L).foreach { seed =>
+      val g = seededRandomGraph(seed, 30, 80)
+      val r = graft.algos.HyperBall
+        .harmonic(edgeDs(g), rounds = 3, graft.functions.Hash64.Portable)
+      assert(r.scale == 6L) // lcm(1,2,3)
+      val got = r.centralities.collect()
+        .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2)))
+        .toMap
+      val perRound = hyperballRegsPerRound(g, 3)
+      // telescoped 1/t weights for T=3, L=6: c = (-6, 3, 1, 2)
+      val coefs = Seq(-6L, 3L, 1L, 2L)
+      val want = perRound.last.keySet.map { v =>
+        val ests = perRound.map(m => est(sScaled(m(v))))
+        v -> (ests.last, ests.zip(coefs).map { case (e, c) => e * c }.sum)
+      }.toMap
+      assert(got == want, s"seed $seed")
+      // registers only grow => ball estimates are monotone => hc >= 0
+      got.values.foreach { case (_, hc) => assert(hc >= 0L) }
     }
   }
 
