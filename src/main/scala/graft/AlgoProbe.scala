@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Sssp}
+import graft.algos.{Bfs, Mis, Sssp}
 
 /** Dev tool: run BFS / SSSP over the driver-testdata co-occurrence graph
   * and print convergence evidence (rounds, reached counts, max/total
@@ -52,6 +52,12 @@ object AlgoProbe {
       println(s"[algoprobe] sssp sf=$sfDir minW=$minW seeds=$nSeeds " +
         s"iterations=${r.iterations} reached=${row.getLong(0)} " +
         s"maxDist=${row.get(1)}")
+    }
+    if (which == "mis") {
+      // portable mode: the exact configuration q_mis's oracle replays
+      val r = Mis.run(edges, graft.functions.Hash64.Portable)
+      println(s"[algoprobe] mis sf=$sfDir minW=$minW " +
+        s"rounds=${r.rounds} misSize=${r.mis.count()}")
     }
     spark.stop()
   }

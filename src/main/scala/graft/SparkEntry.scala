@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
+import graft.algos.{Bfs, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Mis, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity}
 
@@ -212,6 +212,18 @@ object SparkEntry {
       val edges = partEdgeDs(s, d).filter(col("weight") >= 2.0)
       val seeds = Superstep.vertices(edges).where(col("vid") % 20 === 0)
       Walks.run(edges, seeds, steps = 4, maxNbrs = 64, hash = sketchHash)
+    },
+    // maximal independent set (Luby, hash priorities) over the weight>=2
+    // subgraph: exact-match deterministic through the pluggable hash —
+    // the oracle replays every round's (priority, vid) competitions.
+    // Engine fixpoint measured via AlgoProbe: 4/3/2 rounds at
+    // sf0.001/0.01/0.1 — the 8-round unrolled oracle carries 2x slack
+    // (a fixpoint is stable: once active is empty, rounds are no-ops)
+    "q_mis" -> { (s, d) =>
+      Mis.run(
+        partEdgeDs(s, d).filter(col("weight") >= 2.0),
+        hash = sketchHash,
+      ).mis
     },
     // eigenvector centrality: 8 L1-normalized power-iteration steps over
     // the symmetrized graph; same e7 quantization contract as the rank
@@ -1041,6 +1053,45 @@ object SparkEntry {
            |  SELECT src AS wid, src AS cur FROM nbr WHERE src % 20 = 0),
            |$chain
            |SELECT wid, CAST(0 AS INT) AS step, wid AS vid FROM w0
+           |$unions""".stripMargin
+      },
+      // Luby MIS — 8 unrolled rounds over the weight>=2 subgraph: per
+      // round every active vertex draws priority = portableHash("r,vid")
+      // and wins iff no active neighbor holds a smaller (priority, vid);
+      // winners + their neighbors deactivate. Mirrors Mis.run round for
+      // round (measured fixpoint 3-4 rounds, 2x slack; a fixpoint is
+      // stable — empty actives make later rounds no-ops)
+      "q_mis" -> {
+        val mask = (1L << 60) - 1
+        def misIter(r: Int): String = {
+          val prev = s"a${r - 1}"
+          s"""h$r AS MATERIALIZED (SELECT vid,
+             |  (${ph(s"'$r,' || CAST(vid AS VARCHAR)")}) & $mask AS h
+             |  FROM $prev),
+             |w$r AS MATERIALIZED (
+             |  SELECT a.vid FROM h$r a
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM sym s JOIN h$r b ON s.dst = b.vid
+             |    WHERE s.src = a.vid
+             |      AND (b.h < a.h OR (b.h = a.h AND b.vid < a.vid)))),
+             |a$r AS MATERIALIZED (
+             |  SELECT a.vid FROM $prev a
+             |  WHERE NOT EXISTS (SELECT 1 FROM w$r w WHERE w.vid = a.vid)
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM sym s JOIN w$r w ON s.dst = w.vid
+             |      WHERE s.src = a.vid))""".stripMargin
+        }
+        val chain = (1 to 8).map(misIter).mkString(",\n")
+        val unions = (2 to 8)
+          .map(r => s"UNION ALL SELECT vid FROM w$r")
+          .mkString("\n")
+        s"""WITH $edgesCte,
+           |e2 AS (SELECT src, dst FROM e WHERE weight >= 2),
+           |sym AS MATERIALIZED (SELECT src, dst FROM e2
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
+           |a0 AS MATERIALIZED (SELECT DISTINCT src AS vid FROM sym),
+           |$chain
+           |SELECT vid FROM w1
            |$unions""".stripMargin
       },
       // k-truss (k=3) — 8 unrolled synchronous peeling rounds over the

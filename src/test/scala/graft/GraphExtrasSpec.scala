@@ -412,6 +412,66 @@ class GraphExtrasSpec extends GraftSuite {
     }
   }
 
+  // ---- maximal independent set (Luby, hash priorities) ----
+
+  /** Plain-Scala Luby with the same portable (round, vid) priorities. */
+  private def lubyOracle(g: Seq[(Long, Long, Double)]): Set[Long] = {
+    val adj = g
+      .flatMap { case (a, b, _) =>
+        if (a == b) Nil else Seq(a -> b, b -> a)
+      }
+      .distinct.groupBy(_._1)
+      .map { case (v, ns) => v -> ns.map(_._2).toSet }
+    var active = adj.keySet
+    var mis = Set.empty[Long]
+    var r = 0
+    while (active.nonEmpty) {
+      r += 1
+      val h = active.iterator.map { v =>
+        v -> (md5PortableHash(s"$r,$v") & ((1L << 60) - 1))
+      }.toMap
+      val winners = active.filter { v =>
+        val mine = (h(v), v)
+        adj(v).intersect(active).forall { u =>
+          implicitly[Ordering[(Long, Long)]].lt(mine, (h(u), u))
+        }
+      }
+      mis ++= winners
+      active = active -- winners -- winners.flatMap(adj)
+    }
+    mis
+  }
+
+  test("mis (portable hash) matches the plain-Scala Luby oracle") {
+    Seq(13L, 67L, 101L).foreach { seed =>
+      val g = seededRandomGraph(seed, 40, 120)
+      val r = graft.algos.Mis
+        .run(edgeDs(g), graft.functions.Hash64.Portable)
+      val got = r.mis.collect().map(_.getLong(0)).toSet
+      assert(got == lubyOracle(g), s"seed $seed")
+    }
+  }
+
+  test("mis is independent and maximal (production hash)") {
+    (Seq(Fixtures.path5, Fixtures.star, Fixtures.twoCliquesBridge) ++
+      Seq(31L, 47L).map(seededRandomGraph(_, 35, 100))).foreach { g =>
+      val mis = graft.algos.Mis.run(edgeDs(g)).mis
+        .collect().map(_.getLong(0)).toSet
+      val und = g.flatMap { case (a, b, _) =>
+        if (a == b) Nil else Seq(a -> b, b -> a)
+      }.distinct
+      // independence: no edge inside the set
+      und.foreach { case (a, b) =>
+        assert(!(mis(a) && mis(b)), s"edge ($a,$b) inside MIS")
+      }
+      // maximality: every outside vertex has a MIS neighbor
+      val adj = und.groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2) }
+      adj.keys.filterNot(mis).foreach { v =>
+        assert(adj(v).exists(mis), s"vid $v addable — not maximal")
+      }
+    }
+  }
+
   // ---- plan pins (PlanShapeSpec style) ----
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
