@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.algos.{Bfs, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Mis, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -717,6 +717,19 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
         docs.where(pmod(col("doc_id"), lit(5)) === 0),
         "doc_id", "text", threshold = 0.5, hash = sketchHash)
+    },
+    // DSIR-style importance weights: raw = doc_id % 7 != 0 scored
+    // against target = doc_id % 7 == 0 over 4096 hashed unigram+bigram
+    // buckets; per-bucket log-ratio quantized to e6 (ONE double
+    // expression, the tfidf ln convention), per-doc score an exact
+    // BIGINT dot product — the "select web data that looks like the
+    // target corpus" stage, reproducible end to end
+    "q_importance" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Corpus.importanceWeights(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text", buckets = 4096, hash = sketchHash)
     },
     "q_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text",
@@ -1661,6 +1674,41 @@ object SparkEntry {
            |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
            |FROM jv WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.5
            |  AND id_a % 2 <> id_b % 2""".stripMargin,
+      // mirrors Corpus.importanceWeights(buckets=4096): unigrams +
+      // bigram shingles hashed into buckets, add-one-smoothed target
+      // (doc_id%7=0) vs raw (doc_id%7<>0) distributions, per-bucket
+      // log-ratio quantized to e6 in ONE double expression (operand
+      // order identical to the Spark column), then the exact BIGINT
+      // dot product per raw doc
+      "q_importance" ->
+        s"""WITH tks AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)),'\\s+') AS tk FROM documents),
+           |gr AS (SELECT doc_id, unnest(list_concat(tk,
+           |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+           |    ELSE list_transform(generate_series(1, len(tk) - 1),
+           |           i -> array_to_string(tk[i:i+1], ' ')) END)) AS g
+           |  FROM tks),
+           |gb AS MATERIALIZED (SELECT doc_id,
+           |    (${ph("g")}) % 4096 AS b FROM gr),
+           |tgt AS (SELECT b, count(*) AS tcnt FROM gb
+           |  WHERE doc_id % 7 = 0 GROUP BY 1),
+           |rawdoc AS MATERIALIZED (SELECT doc_id, b, count(*) AS c
+           |  FROM gb WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+           |rawb AS (SELECT b, CAST(sum(c) AS BIGINT) AS rcnt
+           |  FROM rawdoc GROUP BY 1),
+           |tt AS (SELECT coalesce(CAST(sum(tcnt) AS BIGINT), 0) AS t FROM tgt),
+           |rt AS (SELECT coalesce(CAST(sum(rcnt) AS BIGINT), 0) AS r FROM rawb),
+           |w AS (SELECT rb.b,
+           |    CAST(round(ln(
+           |      ((coalesce(tg.tcnt, 0) + 1) / CAST(tt.t + 4096 AS DOUBLE))
+           |      / ((rb.rcnt + 1) / CAST(rt.r + 4096 AS DOUBLE))
+           |    ) * 1e6) AS BIGINT) AS w_e6
+           |  FROM rawb rb LEFT JOIN tgt tg ON rb.b = tg.b
+           |  CROSS JOIN tt CROSS JOIN rt)
+           |SELECT rd.doc_id AS id, CAST(sum(rd.c) AS BIGINT) AS n_grams,
+           |  CAST(sum(rd.c * w.w_e6) AS BIGINT) AS score_e6
+           |FROM rawdoc rd JOIN w ON rd.b = w.b
+           |GROUP BY 1""".stripMargin,
       // same pair pipeline, then connected components (recursive CTE
       // seeded from ALL docs so singletons are their own cluster) + the
       // min-id survivor rule — mirrors Dedup.nearDupClusters exactly

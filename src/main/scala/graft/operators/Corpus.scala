@@ -145,6 +145,90 @@ object Corpus {
       )
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score each raw document by how much its hashed
+    * n-gram profile looks like a TARGET corpus rather than the raw
+    * corpus itself — the "select web data that resembles Wikipedia"
+    * pipeline stage. Features are DSIR's: unigrams + bigrams hashed
+    * into `buckets` buckets; both corpus distributions are add-one
+    * smoothed; a document's score is the sum over its gram occurrences
+    * of the per-bucket log-likelihood ratio.
+    *
+    * Determinism (the cross-engine contract): the per-bucket ratio is
+    * ONE fixed-operand-order double expression quantized to e6
+    * (`w_e6 = round(ln(((tcnt+1)/(tTot+B)) / ((rcnt+1)/(rTot+B)))·1e6)`,
+    * the q_tfidf_top ln convention), and the document score is then an
+    * exact BIGINT dot product `Σ c·w_e6` — commutative adds, no
+    * engine-order sensitivity. Deterministic selection = `ORDER BY
+    * score_e6 DESC, id LIMIT k` downstream (the resampling step made
+    * reproducible).
+    *
+    * Scale shape: gram extraction is per-row codegen; the (doc, bucket)
+    * count collapses a doc's repeated grams map-side; bucket totals are
+    * aggregates OVER that reduced frame; and both distribution tables
+    * are ≤ `buckets` rows — broadcast dimensions, so the only shuffles
+    * are the two doc-keyed aggregates no matter the corpus size.
+    *
+    * @return one row per raw doc: (id, n_grams, score_e6).
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    def gramBuckets(df: DataFrame): DataFrame = df
+      .select(
+        col(idCol).as("id"),
+        explode(
+          concat(
+            Text.tokens(lower(col(textCol))),
+            Text.shingles(col(textCol), 2),
+          )
+        ).as("g"),
+      )
+      .select(col("id"), pmod(hash.one(col("g")), lit(buckets.toLong)).as("b"))
+
+    // materialized once: both the bucket totals and the final dot
+    // product read the reduced (doc, bucket) frame (the line-dedup
+    // shared-explode pattern)
+    val rawDoc = graft.Superstep.cut(
+      gramBuckets(raw).groupBy("id", "b").agg(count(lit(1)).as("c"))
+    )
+    val rawB = rawDoc.groupBy("b").agg(sum(col("c")).as("rcnt"))
+    val tgtB = gramBuckets(target)
+      .groupBy("b").agg(count(lit(1)).as("tcnt"))
+    val tTot = tgtB.agg(coalesce(sum(col("tcnt")), lit(0L)).as("t"))
+    val rTot = rawB.agg(coalesce(sum(col("rcnt")), lit(0L)).as("r"))
+    val w = rawB
+      .join(tgtB, Seq("b"), "left_outer")
+      .join(broadcast(tTot)) // 1-row cross joins, the tfidf N pattern
+      .join(broadcast(rTot))
+      .select(
+        col("b"),
+        round(
+          log(
+            ((coalesce(col("tcnt"), lit(0L)) + 1L).cast("double")
+              / (col("t") + buckets.toLong).cast("double"))
+              / ((col("rcnt") + 1L).cast("double")
+                / (col("r") + buckets.toLong).cast("double"))
+          ) * 1e6,
+          0,
+        ).cast("long").as("w_e6"),
+      )
+    rawDoc
+      .join(broadcast(w), Seq("b"))
+      .groupBy("id")
+      .agg(
+        sum(col("c")).as("n_grams"),
+        sum(col("c") * col("w_e6")).as("score_e6"),
+      )
+  }
+
   /** Deterministic sequence PACKING layout: the GPT-style pretraining
     * step that concatenates documents into a token stream and cuts
     * fixed-length contexts. Each doc is assigned a shard (hash band of

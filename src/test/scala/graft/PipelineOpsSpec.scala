@@ -519,6 +519,51 @@ class PipelineOpsSpec extends GraftSuite {
     assert(Corpus.stratifiedSample(tiny, "source", "doc_id", 5).count() == 2)
   }
 
+  test("importance weights match the plain-Scala DSIR mirror; self-target is zero") {
+    import graft.operators.Corpus
+    def md5p(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(17, 32), 16)
+    }
+    val b = 64 // small bucket count so collisions are exercised
+    val got = Corpus.importanceWeights(
+      docsDf.where(pmod(col("doc_id"), lit(3)) =!= 0),
+      docsDf.where(pmod(col("doc_id"), lit(3)) === 0),
+      "doc_id", "text", buckets = b, hash = Hash64.Portable,
+    ).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    def grams(text: String): Seq[String] = {
+      val tk = text.trim.toLowerCase.split("\\s+").toSeq
+      val bi =
+        if (tk.length < 2) Seq(tk.mkString(" "))
+        else tk.sliding(2).map(_.mkString(" ")).toSeq
+      tk ++ bi
+    }
+    def bucket(g: String): Long = md5p(g) % b
+    val rawPer = docs.filter(_._1 % 3 != 0)
+      .map(d => d._1 -> grams(d._2).map(bucket)).toMap
+    val tcnt = docs.filter(_._1 % 3 == 0).flatMap(d => grams(d._2))
+      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val rcnt = rawPer.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val tTot = tcnt.values.sum
+    val rTot = rcnt.values.sum
+    def w(bk: Long): Long = math.round(math.log(
+      ((tcnt.getOrElse(bk, 0L) + 1).toDouble / (tTot + b).toDouble)
+        / ((rcnt(bk) + 1).toDouble / (rTot + b).toDouble)) * 1e6)
+    val want = rawPer.map { case (id, bs) =>
+      id -> (bs.size.toLong, bs.map(w).sum)
+    }
+    assert(got == want)
+    // raw == target: every bucket's smoothed ratio is exactly 1.0
+    // (identical counts, identical divisions), so ln is exactly 0
+    Corpus.importanceWeights(
+      docsDf, docsDf, "doc_id", "text", buckets = b, hash = Hash64.Portable,
+    ).collect().foreach(r => assert(r.getLong(2) == 0L, s"doc ${r.get(0)}"))
+  }
+
   test("tf-idf top terms match hand-computed scores and ranks") {
     import graft.operators.Corpus
     val df = Seq(
