@@ -204,6 +204,17 @@ object SparkEntry {
       ).centralities
         .select(col("vid"), col("ball_e7"), col("hc_scaled").as("hc12_e7"))
     },
+    // neighborhood function N(t) + 90%-effective diameter from the same
+    // HyperBall chain: N(t) = exact BIGINT sum of the per-vertex ball
+    // estimates per round, reach90 = the exact integer test
+    // N(t)·10 >= N(4)·9 — the ANF "how far apart is this graph" summary
+    "q_neighborhood" -> { (s, d) =>
+      HyperBall.neighborhoodFunction(
+        partEdgeDs(s, d).filter(col("weight") >= 2.0),
+        rounds = 4,
+        hash = sketchHash,
+      )
+    },
     // deterministic random-walk corpus (DeepWalk input): 4 hash-indexed
     // steps per vid%20==0 seed over the weight>=2 subgraph; the pluggable
     // sketch hash makes every step replayable in the DuckDB oracle
@@ -731,6 +742,20 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(7)) === 0),
         "doc_id", "text", buckets = 4096, hash = sketchHash)
     },
+    // CCNet-style bigram-LM perplexity filter: add-one-smoothed hashed
+    // bigram model trained on target = doc_id % 4 == 0, scoring
+    // raw = the rest; per-pair −ln P quantized e6 (ONE double
+    // expression), per-doc nll an exact BIGINT dot product, and the
+    // keep cut an exact BIGINT comparison (avg NLL ≤ 4.92 nats — the
+    // corpus median, so the cut is exercised both ways)
+    "q_perplexity" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Corpus.bigramLmScore(
+        docs.where(pmod(col("doc_id"), lit(4)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(4)) === 0),
+        "doc_id", "text", buckets = 1024,
+        thresholdNllE6 = 4920000L, hash = sketchHash)
+    },
     "q_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text",
         sketchHash)
@@ -1037,6 +1062,29 @@ object SparkEntry {
            |JOIN est2 e2 ON e0.vid = e2.vid
            |JOIN est3 e3 ON e0.vid = e3.vid
            |JOIN est4 e4 ON e0.vid = e4.vid""".stripMargin
+      },
+      // neighborhood function — the same register chain, one BIGINT
+      // estimate sum per round r0..r4, then the exact integer 90% test
+      // against the final round (mirrors HyperBall.neighborhoodFunction)
+      "q_neighborhood" -> {
+        def nfCte(t: Int): String =
+          s"""nf$t AS (SELECT $t AS t, CAST(sum(
+             |  CAST(round(0.673 * 73786976294838206464.0
+             |    / CAST(sp + (16 - present) * (CAST(1 AS BIGINT) << 58) AS DOUBLE)
+             |    * 1e7) AS BIGINT)) AS BIGINT) AS nf_e7
+             |  FROM (SELECT vid, count(*) AS present,
+             |    CAST(sum((CAST(1 AS BIGINT) << (58 - val))) AS BIGINT) AS sp
+             |    FROM r$t GROUP BY vid))""".stripMargin
+        val nfs = (0 to 4).map(nfCte).mkString(",\n")
+        val unions = (0 to 4)
+          .map(t => s"SELECT t, nf_e7 FROM nf$t")
+          .mkString("\nUNION ALL ")
+        s"""WITH $hyperballChainCtes,
+           |$nfs,
+           |nf AS ($unions),
+           |last AS (SELECT nf_e7 AS nf_last FROM nf WHERE t = 4)
+           |SELECT t, nf_e7, nf_e7 * 10 >= nf_last * 9 AS reach90
+           |FROM nf, last""".stripMargin
       },
       // deterministic random walks — each unrolled step picks
       // nbrs[(portableHash("wid,t,cur") % len) + 1] from the per-vertex
@@ -1709,6 +1757,39 @@ object SparkEntry {
            |  CAST(sum(rd.c * w.w_e6) AS BIGINT) AS score_e6
            |FROM rawdoc rd JOIN w ON rd.b = w.b
            |GROUP BY 1""".stripMargin,
+      // mirrors Corpus.bigramLmScore(buckets=1024): bigrams from the
+      // trimmed lowercase whitespace tokens, ctx/next hashed into 1024
+      // vocab buckets, add-one-smoothed bigram model on the target
+      // (doc_id%4=0), per-pair −ln P quantized e6 (operand order
+      // identical to the Spark column), per-doc nll the exact BIGINT
+      // dot product, keep an exact BIGINT comparison
+      "q_perplexity" ->
+        s"""WITH tks AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)),'\\s+') AS tk FROM documents),
+           |bg AS (SELECT doc_id,
+           |    (${ph("pr[1]")}) % 1024 AS cb,
+           |    (${ph("pr[2]")}) % 1024 AS wb
+           |  FROM (SELECT doc_id,
+           |      unnest(list_transform(generate_series(1, len(tk) - 1),
+           |        i -> [tk[i], tk[i+1]])) AS pr
+           |    FROM tks WHERE len(tk) >= 2)),
+           |tp AS MATERIALIZED (SELECT cb, wb, count(*) AS tp FROM bg
+           |  WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+           |tc AS (SELECT cb, CAST(sum(tp) AS BIGINT) AS tc FROM tp GROUP BY 1),
+           |rd AS (SELECT doc_id, cb, wb, count(*) AS c FROM bg
+           |  WHERE doc_id % 4 <> 0 GROUP BY 1, 2, 3),
+           |sc AS (SELECT rd.doc_id AS id,
+           |    CAST(sum(rd.c) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(rd.c * (
+           |      -CAST(round(ln(
+           |        CAST(coalesce(tp.tp, 0) + 1 AS DOUBLE)
+           |        / CAST(coalesce(tc.tc, 0) + 1024 AS DOUBLE)
+           |      ) * 1e6) AS BIGINT))) AS BIGINT) AS nll_e6
+           |  FROM rd LEFT JOIN tp ON rd.cb = tp.cb AND rd.wb = tp.wb
+           |  LEFT JOIN tc ON rd.cb = tc.cb
+           |  GROUP BY 1)
+           |SELECT id, n_bigrams, nll_e6,
+           |  nll_e6 <= 4920000 * n_bigrams AS keep FROM sc""".stripMargin,
       // same pair pipeline, then connected components (recursive CTE
       // seeded from ALL docs so singletons are their own cluster) + the
       // min-id survivor rule — mirrors Dedup.nearDupClusters exactly

@@ -249,6 +249,88 @@ object HyperBall {
     HarmonicResult(centralities, rounds, l)
   }
 
+  /** Approximate NEIGHBORHOOD FUNCTION and effective diameter — the
+    * other headline HyperBall application (Boldi & Vigna 2013, §5;
+    * Palmer et al.'s ANF): N(t) = Σ_v |B(v,t)| estimated per round, and
+    * the 90%-effective diameter = the smallest t whose N(t) reaches 90%
+    * of N(T). THE "how far apart is this graph" summary at 10^12 edges,
+    * where an exact distance distribution is hopeless.
+    *
+    * Determinism: each per-vertex, per-round est_e7 is the q_hyperball
+    * BIGINT (exact registers through the pluggable hash + one rounded
+    * double division), N(t) is their commutative BIGINT sum, and the
+    * 90% test is the exact integer comparison `N(t)·10 ≥ N(T)·9` — no
+    * float crosses a decision boundary. Registers only grow, so N(t) is
+    * non-decreasing in t (spec-pinned).
+    *
+    * Cost on top of [[run]]: one |V|-row sum per round over a state
+    * that is already hash-partitioned by vid — O(T·|V|) next to the
+    * scatter's O(T·|E|). The output is T+1 rows regardless of scale.
+    *
+    * @return (t, nf_e7, reach90) for t = 0..rounds; the effective
+    *         diameter is `min t with reach90` (t=rounds always
+    *         qualifies).
+    */
+  def neighborhoodFunction(
+      edges: Dataset[Edge],
+      rounds: Int,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = Superstep.withAqeOff(edges.sparkSession) {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val base = EdgeBuilder.symmetrize(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.build(base, p, Csr.WeightMode.One)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVerts = Superstep.vertices(base).count()
+
+    val h = hash.one(col("vid")).bitwiseAND(lit((1L << 60) - 1L))
+    var state: DataFrame = Superstep.cut(
+      Superstep.vertices(base)
+        .select(
+          col("vid"),
+          h.bitwiseAND(lit(15L)).cast("int").as("idx"),
+          rho(shiftright(h, 4)).as("val"),
+        ),
+      nVerts,
+    )
+    // per-round frames read the round's CUT state (already materialized)
+    var perRound = Vector(
+      estimateFrame(state).select(lit(0).as("t"), col("est_e7")))
+    var iter = 0
+    while (iter < rounds) {
+      val msgs = Superstep
+        .scatter(adj, state)
+        .select(col("vid"), col("idx"), col("val"))
+      val merged = msgs
+        .unionByName(state)
+        .repartition(p, col("vid"))
+        .groupBy("vid", "idx")
+        .agg(max("val").as("val"))
+      state = Superstep.cut(merged, nVerts * Registers)
+      iter += 1
+      perRound :+= estimateFrame(state)
+        .select(lit(iter).as("t"), col("est_e7"))
+    }
+    val nf = perRound.reduce(_ unionByName _)
+      .groupBy("t")
+      .agg(sum(col("est_e7")).as("nf_e7"))
+    val last = nf.where(col("t") === rounds)
+      .select(col("nf_e7").as("nf_last"))
+    val out = nf
+      .join(broadcast(last))
+      .select(
+        col("t"),
+        col("nf_e7"),
+        (col("nf_e7") * 10L >= col("nf_last") * 9L).as("reach90"),
+      )
+    adj.unpersist(false)
+    base.unpersist(false)
+    out
+  }
+
   private def lcm(a: Long, b: Long): Long = {
     @annotation.tailrec def gcd(x: Long, y: Long): Long =
       if (y == 0) x else gcd(y, x % y)

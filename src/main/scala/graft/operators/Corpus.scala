@@ -229,6 +229,111 @@ object Corpus {
       )
   }
 
+  /** Hashed bigram-LM quality scoring — the CCNet-style perplexity
+    * filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020): train an add-one-
+    * smoothed bigram language model on a TARGET corpus, then score each
+    * raw document by its total negative log-likelihood under that model
+    * (KenLM's role, reduced to a deterministic relational core). The
+    * vocabulary is hashed into `buckets` buckets, so the model is
+    *
+    *   P(w2 | w1) = (c(b(w1), b(w2)) + 1) / (c(b(w1)·) + buckets)
+    *
+    * with both counts taken on the target corpus. A doc's quality score
+    * is nll = Σ_bigrams −ln P; `keep` = nll ≤ threshold · n_bigrams,
+    * i.e. an average-NLL cut (ppl ≤ e^threshold).
+    *
+    * Determinism (the cross-engine contract): each distinct (ctx, next)
+    * bucket pair's −ln P is ONE fixed-operand-order double expression
+    * quantized to e6 (the [[importanceWeights]] / q_tfidf_top ln
+    * convention); a doc's nll_e6 is then the exact BIGINT dot product
+    * Σ c·w_e6, and the keep decision is an exact BIGINT comparison
+    * (`nll_e6 ≤ thresholdNllE6 · n_bigrams`) — no float ever crosses a
+    * decision boundary unrounded.
+    *
+    * Scale shape: bigram extraction is per-row codegen (no UDF); the
+    * (doc, ctx, next) count collapses a doc's repeated bigrams map-side;
+    * the model tables are bounded by the VOCAB HASH, not the corpus —
+    * ≤ buckets² pair rows and ≤ buckets context rows no matter how many
+    * documents are scored — so both ride as broadcast dimensions and
+    * the only shuffle keyed by an unbounded value is the doc-id
+    * aggregate. Docs with fewer than 2 tokens have no bigrams and drop
+    * out (NULL text included), same as the oracle.
+    *
+    * @return one row per scoreable raw doc:
+    *         (id, n_bigrams, nll_e6, keep).
+    */
+  def bigramLmScore(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024,
+      thresholdNllE6: Long = 7000000L,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    val b = buckets.toLong
+    def bigramBuckets(df: DataFrame): DataFrame = df
+      .select(
+        col(idCol).as("id"),
+        Text.tokens(lower(col(textCol))).as("tk"),
+      )
+      .where(size(col("tk")) >= 2)
+      .select(
+        col("id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("tk")) - 1),
+            i =>
+              struct(
+                element_at(col("tk"), i).as("w1"),
+                element_at(col("tk"), i + 1).as("w2"),
+              ),
+          )
+        ).as("bg"),
+      )
+      .select(
+        col("id"),
+        pmod(hash.one(col("bg.w1")), lit(b)).as("cb"),
+        pmod(hash.one(col("bg.w2")), lit(b)).as("wb"),
+      )
+    // model tables: bounded by the vocab hash (≤ buckets² / ≤ buckets
+    // rows), built once; tc derives from tp so the target corpus is
+    // bigram-extracted exactly once
+    val tp = graft.Superstep.cut(
+      bigramBuckets(target).groupBy("cb", "wb").agg(count(lit(1)).as("tp"))
+    )
+    val tc = tp.groupBy("cb").agg(sum(col("tp")).as("tc"))
+    val rawDoc = bigramBuckets(raw)
+      .groupBy("id", "cb", "wb")
+      .agg(count(lit(1)).as("c"))
+    // −ln P per distinct pair row: cp ≤ cc structurally, so P ≤ 1 and
+    // w_e6 ≥ 0; operand order mirrored token-for-token in the oracle
+    val wE6 = -round(
+      log(
+        (coalesce(col("tp"), lit(0L)) + 1L).cast("double")
+          / (coalesce(col("tc"), lit(0L)) + b).cast("double")
+      ) * 1e6,
+      0,
+    ).cast("long")
+    rawDoc
+      .join(broadcast(tp), Seq("cb", "wb"), "left_outer")
+      .join(broadcast(tc), Seq("cb"), "left_outer")
+      .select(col("id"), col("c"), wE6.as("w_e6"))
+      .groupBy("id")
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("w_e6")).as("nll_e6"),
+      )
+      .select(
+        col("id"),
+        col("n_bigrams"),
+        col("nll_e6"),
+        (col("nll_e6") <= lit(thresholdNllE6) * col("n_bigrams")).as("keep"),
+      )
+  }
+
   /** Deterministic sequence PACKING layout: the GPT-style pretraining
     * step that concatenates documents into a token stream and cuts
     * fixed-length contexts. Each doc is assigned a shard (hash band of

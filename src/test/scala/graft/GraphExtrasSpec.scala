@@ -396,6 +396,30 @@ class GraphExtrasSpec extends GraftSuite {
     }
   }
 
+  test("neighborhood function matches the plain-Scala sums and the 90% test") {
+    def est(s: Long): Long = math.round(
+      0.673 * ((1L << 58).toDouble * 256.0) / s.toDouble * 1e7)
+    Seq(67L, 101L).foreach { seed =>
+      val g = seededRandomGraph(seed, 30, 80)
+      val got = graft.algos.HyperBall
+        .neighborhoodFunction(edgeDs(g), rounds = 3,
+          graft.functions.Hash64.Portable)
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+      val perRound = hyperballRegsPerRound(g, 3)
+      val sums = perRound.map(_.values.map(m => est(sScaled(m))).sum)
+      val want = sums.zipWithIndex.map { case (s, t) =>
+        t -> ((s, s * 10 >= sums.last * 9))
+      }.toMap
+      assert(got == want, s"seed $seed")
+      // registers only grow => N(t) is monotone; the last round always
+      // reaches its own 90%
+      (1 to 3).foreach(t => assert(got(t)._1 >= got(t - 1)._1, s"t=$t"))
+      assert(got(3)._2)
+    }
+  }
+
   test("hyperball estimates grow with radius and land near truth on a clique") {
     // K5+K5+bridge: by round 2 every vertex's ball is the whole graph
     val g = Fixtures.twoCliquesBridge

@@ -564,6 +564,57 @@ class PipelineOpsSpec extends GraftSuite {
     ).collect().foreach(r => assert(r.getLong(2) == 0L, s"doc ${r.get(0)}"))
   }
 
+  test("bigram-LM scores match the plain-Scala mirror; empty target is uniform") {
+    import graft.operators.Corpus
+    def md5p(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(17, 32), 16)
+    }
+    val b = 32 // small vocab hash so pair collisions are exercised
+    val thr = 3400000L
+    val got = Corpus.bigramLmScore(
+      docsDf.where(pmod(col("doc_id"), lit(3)) =!= 0),
+      docsDf.where(pmod(col("doc_id"), lit(3)) === 0),
+      "doc_id", "text", buckets = b, thresholdNllE6 = thr,
+      hash = Hash64.Portable,
+    ).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+    def bigrams(text: String): Seq[(Long, Long)] = {
+      val tk = text.trim.toLowerCase.split("\\s+").toSeq
+      if (tk.length < 2) Seq.empty
+      else tk.sliding(2).map(p => (md5p(p(0)) % b, md5p(p(1)) % b)).toSeq
+    }
+    val tgtBg = docs.filter(_._1 % 3 == 0).flatMap(d => bigrams(d._2))
+    val tp = tgtBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tc = tgtBg.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def w(pair: (Long, Long)): Long = -math.round(math.log(
+      (tp.getOrElse(pair, 0L) + 1).toDouble
+        / (tc.getOrElse(pair._1, 0L) + b).toDouble) * 1e6)
+    val want = docs.filter(_._1 % 3 != 0)
+      .map(d => d._1 -> bigrams(d._2))
+      .filter(_._2.nonEmpty)
+      .map { case (id, bs) =>
+        val nll = bs.map(w).sum
+        id -> ((bs.size.toLong, nll, nll <= thr * bs.size))
+      }.toMap
+    assert(got == want)
+    // both keep outcomes must be exercised by the fixture
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+    // empty target: every pair scores the uniform −ln(1/b), so
+    // nll_e6 == n_bigrams · round(ln(b)·1e6) exactly
+    val uniform = math.round(math.log(b.toDouble) * 1e6)
+    Corpus.bigramLmScore(
+      docsDf, docsDf.limit(0), "doc_id", "text", buckets = b,
+      thresholdNllE6 = thr, hash = Hash64.Portable,
+    ).collect().foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * uniform, s"doc ${r.get(0)}")
+    }
+  }
+
   test("tf-idf top terms match hand-computed scores and ranks") {
     import graft.operators.Corpus
     val df = Seq(
