@@ -269,7 +269,10 @@ object SparkEntry {
     // are hash-checked by q_labelprop_sizes; the metric's moments are
     // exact integers, one double expression at the end — see Modularity)
     "q_modularity" -> { (s, d) =>
-      val edges = partEdgeDs(s, d)
+      import s.implicits._
+      // the co-occurrence build is materialized once and feeds both LP
+      // and the metric (each would otherwise re-run it through lineage)
+      val edges = Superstep.cut(partEdgeDs(s, d).toDF()).as[Edge]
       val labels = LabelProp.run(edges, LpConfig(iterations = 3)).toDF()
       Modularity.of(edges, labels)
     },
@@ -277,9 +280,11 @@ object SparkEntry {
     // over the simple undirected graph — triangle machinery + the degree
     // aggregate in one row; cc quantized e7 like the rank queries
     "q_clustering" -> { (s, d) =>
-      val edges = partEdgeDs(s, d)
-      val tri = Triangles.globalCount(edges)
-      val e = partEdges(s, d)
+      import s.implicits._
+      // one materialized build feeds the triangle count AND the wedge
+      // aggregate (previously two independent builds + re-scans)
+      val e = Superstep.cut(partEdgeDs(s, d).toDF())
+      val tri = Triangles.globalCount(e.as[Edge])
       e.select(col("src").as("vid"))
         .unionByName(e.select(col("dst").as("vid")))
         .groupBy("vid").agg(count(lit(1)).as("deg"))
@@ -301,7 +306,9 @@ object SparkEntry {
     // cast to DOUBLE with the IDENTICAL operand order on both engines
     // before the one e7-quantized division.
     "q_assortativity" -> { (s, d) =>
-      val e = partEdges(s, d)
+      // materialized once: the degree table and the directed expansion
+      // each scan the built edge list twice
+      val e = Superstep.cut(partEdges(s, d))
       val deg = e.select(col("src").as("vid"))
         .unionByName(e.select(col("dst").as("vid")))
         .groupBy("vid").agg(count(lit(1)).as("deg"))
