@@ -130,7 +130,9 @@ object SparkEntry {
     // set, 8 fixed supersteps, same rank_e7 quantization contract as
     // q_pagerank_top20 (see that query's comment)
     "q_ppr_top20" -> { (s, d) =>
-      val edges = partEdgeDs(s, d)
+      import s.implicits._
+      // one materialized build feeds seed derivation AND the loop
+      val edges = Superstep.cut(partEdgeDs(s, d).toDF()).as[Edge]
       val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
       Ppr.run(edges, seeds, PrConfig(tol = 0.0, maxIter = 8))
         .ranks.toDF()
@@ -156,7 +158,9 @@ object SparkEntry {
     // sf0.1: 1628 of 5922 reached, max hop 7, measured; the oracle
     // unrolls 16 relaxation rounds, 2x slack)
     "q_bfs_hops" -> { (s, d) =>
-      val edges = partEdgeDs(s, d).filter(col("weight") >= 2.0)
+      import s.implicits._
+      val edges = Superstep
+        .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
       val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
       Bfs.run(edges, seeds).dists
     },
@@ -167,7 +171,9 @@ object SparkEntry {
     // carries 2x slack. Weights are integral counts, so distances are
     // exact integers in a double → cast BIGINT is lossless on both sides.
     "q_sssp_cost" -> { (s, d) =>
-      val edges = partEdgeDs(s, d).filter(col("weight") >= 2.0)
+      import s.implicits._
+      val edges = Superstep
+        .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
       val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
       Sssp.run(edges, seeds).dists
         .select(col("vid"), col("dist").cast("long").as("dist"))
@@ -220,7 +226,9 @@ object SparkEntry {
     // sketch hash makes every step replayable in the DuckDB oracle
     // (portable mode), exactly like the minhash/LSH pipelines
     "q_walks" -> { (s, d) =>
-      val edges = partEdgeDs(s, d).filter(col("weight") >= 2.0)
+      import s.implicits._
+      val edges = Superstep
+        .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
       val seeds = Superstep.vertices(edges).where(col("vid") % 20 === 0)
       Walks.run(edges, seeds, steps = 4, maxNbrs = 64, hash = sketchHash)
     },
