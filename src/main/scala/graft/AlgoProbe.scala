@@ -59,6 +59,20 @@ object AlgoProbe {
       println(s"[algoprobe] mis sf=$sfDir minW=$minW " +
         s"rounds=${r.rounds} misSize=${r.mis.count()}")
     }
+    if (which == "coloring") {
+      // portable mode: the exact configuration q_coloring's oracle replays
+      val r = graft.algos.Coloring
+        .speculative(edges, hash = graft.functions.Hash64.Portable)
+      val row = r.colors.agg(max(col("color")), count(lit(1))).head()
+      println(s"[algoprobe] coloring(speculative) sf=$sfDir minW=$minW " +
+        s"rounds=${r.rounds} maxColor=${row.get(0)} verts=${row.getLong(1)}")
+    }
+    if (which == "coloring-jp") {
+      val r = graft.algos.Coloring.run(edges, graft.functions.Hash64.Portable)
+      val row = r.colors.agg(max(col("color")), count(lit(1))).head()
+      println(s"[algoprobe] coloring(jp) sf=$sfDir minW=$minW " +
+        s"rounds=${r.rounds} maxColor=${row.get(0)} verts=${row.getLong(1)}")
+    }
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Mis, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
+import graft.algos.{Bfs, Coloring, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Mis, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Corpus, Dedup, Multimodal, Relational, Similarity}
 
@@ -209,6 +209,20 @@ object SparkEntry {
         hash = sketchHash,
       ).centralities
         .select(col("vid"), col("ball_e7"), col("hc_scaled").as("hc12_e7"))
+    },
+    // speculative graph coloring (Gebremedhin-Manne with deterministic
+    // hash priorities) over the weight>=2 subgraph: hash-palette init,
+    // then per round every vertex sharing its color with a higher-
+    // priority neighbor recolors to the mex of its neighbors' colors.
+    // Engine fixpoint measured via AlgoProbe: 5/3/2 rounds at
+    // sf0.001/0.01/0.1 — the 8-round unrolled oracle carries slack
+    // (a fixpoint is stable: conflict-free rounds are no-ops)
+    "q_coloring" -> { (s, d) =>
+      Coloring.speculative(
+        partEdgeDs(s, d).filter(col("weight") >= 2.0),
+        palette = 256,
+        hash = sketchHash,
+      ).colors
     },
     // neighborhood function N(t) + 90%-effective diameter from the same
     // HyperBall chain: N(t) = exact BIGINT sum of the per-vertex ball
@@ -1137,6 +1151,42 @@ object SparkEntry {
       // winners + their neighbors deactivate. Mirrors Mis.run round for
       // round (measured fixpoint 3-4 rounds, 2x slack; a fixpoint is
       // stable — empty actives make later rounds no-ops)
+      // speculative coloring — 8 unrolled synchronous rounds (engine
+      // fixpoint 5/3/2 at the three sfs; conflict-free rounds are
+      // no-ops): hash-palette init, recolor-if-outranked-same-color,
+      // mex over distinct current neighbor colors, the SAME ascending
+      // candidate scan the engine's sequence+filter evaluates
+      "q_coloring" -> {
+        val mask = (1L << 60) - 1
+        def colIter(r: Int): String = {
+          val prev = s"cs${r - 1}"
+          s"""un$r AS (SELECT s.src AS vid,
+             |    list_distinct(list(n.color)) AS cols
+             |  FROM sym s JOIN $prev n ON s.dst = n.vid GROUP BY 1),
+             |cs$r AS MATERIALIZED (
+             |  SELECT v.vid, v.h,
+             |    CASE WHEN EXISTS (
+             |        SELECT 1 FROM sym s JOIN $prev u ON s.dst = u.vid
+             |        WHERE s.src = v.vid AND u.color = v.color
+             |          AND (u.h > v.h OR (u.h = v.h AND u.vid > v.vid)))
+             |      THEN coalesce(list_filter(
+             |        generate_series(0, len(uc.cols)),
+             |        k -> NOT list_contains(uc.cols, k))[1], 0)
+             |      ELSE v.color END AS color
+             |  FROM $prev v LEFT JOIN un$r uc ON uc.vid = v.vid)""".stripMargin
+        }
+        val chain = (1 to 8).map(colIter).mkString(",\n")
+        s"""WITH $edgesCte,
+           |e2 AS (SELECT src, dst FROM e WHERE weight >= 2),
+           |sym AS MATERIALIZED (SELECT src, dst FROM e2
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
+           |v0 AS (SELECT DISTINCT src AS vid FROM sym),
+           |h0 AS (SELECT vid,
+           |  (${ph("CAST(vid AS VARCHAR)")}) & $mask AS h FROM v0),
+           |cs0 AS MATERIALIZED (SELECT vid, h, h % 256 AS color FROM h0),
+           |$chain
+           |SELECT vid, color FROM cs8""".stripMargin
+      },
       "q_mis" -> {
         val mask = (1L << 60) - 1
         def misIter(r: Int): String = {

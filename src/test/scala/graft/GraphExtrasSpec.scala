@@ -496,6 +496,114 @@ class GraphExtrasSpec extends GraftSuite {
     }
   }
 
+  // ---- Jones-Plassmann coloring ----
+
+  /** Sequential greedy coloring along DECREASING (portable-hash, vid)
+    * priority — exactly the fixpoint JP computes: when v is processed,
+    * precisely its higher-priority neighbors are colored.
+    */
+  private def jpOracle(g: Seq[(Long, Long, Double)]): Map[Long, Long] = {
+    val adj = g
+      .flatMap { case (a, b, _) =>
+        if (a == b) Nil else Seq(a -> b, b -> a)
+      }
+      .distinct.groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val pri = adj.keySet.iterator
+      .map(v => v -> (md5PortableHash(v.toString) & ((1L << 60) - 1)))
+      .toMap
+    val order = adj.keySet.toSeq.sortBy(v => (pri(v), v)).reverse
+    val color = scala.collection.mutable.Map.empty[Long, Long]
+    order.foreach { v =>
+      val used = adj(v).flatMap(color.get)
+      color(v) = Iterator.iterate(0L)(_ + 1L).find(k => !used.contains(k)).get
+    }
+    color.toMap
+  }
+
+  test("JP coloring matches sequential greedy along priority order") {
+    Seq(13L, 67L, 101L).foreach { seed =>
+      val g = seededRandomGraph(seed, 40, 120)
+      val r = graft.algos.Coloring
+        .run(edgeDs(g), graft.functions.Hash64.Portable)
+      val got = r.colors.collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got == jpOracle(g), s"seed $seed")
+    }
+  }
+
+  /** Plain-Scala replay of Coloring.speculative: hash-palette init, then
+    * synchronous recolor-if-outranked-same-color with mex over distinct
+    * current neighbor colors, until conflict-free.
+    */
+  private def specColoringOracle(
+      g: Seq[(Long, Long, Double)],
+      palette: Int,
+  ): Map[Long, Long] = {
+    val adj = g
+      .flatMap { case (a, b, _) =>
+        if (a == b) Nil else Seq(a -> b, b -> a)
+      }
+      .distinct.groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val pri = adj.keySet.iterator
+      .map(v => v -> (md5PortableHash(v.toString) & ((1L << 60) - 1)))
+      .toMap
+    var color = pri.map { case (v, h) => v -> (h % palette) }
+    var changed = true
+    while (changed) {
+      val conf = adj.keySet.filter(v => adj(v).exists(u =>
+        color(u) == color(v) &&
+          implicitly[Ordering[(Long, Long)]].gt((pri(u), u), (pri(v), v))))
+      changed = conf.nonEmpty
+      val snapshot = color
+      color = color.map { case (v, c) =>
+        if (!conf(v)) v -> c
+        else {
+          val used = adj(v).map(snapshot)
+          v -> Iterator.iterate(0L)(_ + 1L).find(k => !used.contains(k)).get
+        }
+      }
+    }
+    color
+  }
+
+  test("speculative coloring matches the plain-Scala replay and is proper") {
+    Seq(13L, 67L, 101L).foreach { seed =>
+      val g = seededRandomGraph(seed, 40, 120)
+      // palette 4 on a dense-ish 40-vertex graph: initial conflicts are
+      // plentiful, so the recolor cascade is exercised for real
+      val r = graft.algos.Coloring
+        .speculative(edgeDs(g), palette = 4,
+          hash = graft.functions.Hash64.Portable)
+      val got = r.colors.collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got == specColoringOracle(g, 4), s"seed $seed")
+      g.foreach { case (a, b, _) =>
+        if (a != b) assert(got(a) != got(b), s"seed $seed edge ($a,$b)")
+      }
+    }
+  }
+
+  test("JP coloring is proper and within Δ+1 (production hash)") {
+    (Seq(Fixtures.path5, Fixtures.star, Fixtures.twoCliquesBridge) ++
+      Seq(31L, 47L).map(seededRandomGraph(_, 35, 100))).foreach { g =>
+      val colors = graft.algos.Coloring.run(edgeDs(g)).colors
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val und = g.flatMap { case (a, b, _) =>
+        if (a == b) Nil else Seq(a -> b, b -> a)
+      }.distinct
+      und.foreach { case (a, b) =>
+        assert(colors(a) != colors(b), s"edge ($a,$b) monochrome")
+      }
+      val maxDeg = und.groupBy(_._1).values.map(_.size).max
+      assert(colors.values.max <= maxDeg.toLong,
+        s"χ ${colors.values.max + 1} > Δ+1 ${maxDeg + 1}")
+      // deterministic under the production hash too
+      val again = graft.algos.Coloring.run(edgeDs(g)).colors
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(colors == again)
+    }
+  }
+
   // ---- plan pins (PlanShapeSpec style) ----
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
