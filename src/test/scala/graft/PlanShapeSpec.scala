@@ -280,6 +280,43 @@ class PlanShapeSpec extends GraftSuite {
     assert(shuffles <= 3, s"expected <=3 shuffles, got $shuffles:\n$plan")
   }
 
+  test("importance weights: distribution tables broadcast, doc aggs shuffle") {
+    val df = spark.range(300)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok "), (col("id") % 13).cast("string"),
+          lit(" common words here")).as("text"))
+    val plan = graft.operators.Corpus
+      .importanceWeights(
+        df.where(col("doc_id") % 3 =!= 0),
+        df.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", buckets = 64)
+      .queryExecution.executedPlan.toString
+    // the per-bucket weight table (<= buckets rows) must reach the raw
+    // frame as a broadcast — the 100 TB side never reshuffles for the
+    // model; a SortMergeJoin here means the bounded dimension leaked
+    // into a corpus-keyed shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("bigram-LM score: model tables broadcast, never sort-merge") {
+    val df = spark.range(300)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok "), (col("id") % 13).cast("string"),
+          lit(" common words here")).as("text"))
+    val plan = graft.operators.Corpus
+      .bigramLmScore(
+        df.where(col("doc_id") % 3 =!= 0),
+        df.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", buckets = 64)
+      .queryExecution.executedPlan.toString
+    // both model tables are bounded by the vocab hash (<= buckets² pair
+    // rows, <= buckets context rows): they must ride as broadcast
+    // dimensions against the raw (doc, pair) frame
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("line dedup: doc reassembly takes exactly one grouping exchange") {
     val df = spark.range(200)
       .select((col("id") % 1000).as("doc_id"),
