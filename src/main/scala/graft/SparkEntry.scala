@@ -482,6 +482,44 @@ object SparkEntry {
             .cast("double").as("total"),
         )
     },
+    // P5 pivot: status-wide quantity matrix per return flag — Spark's
+    // relational PIVOT with an EXPLICIT value list (deterministic
+    // columns, single scan, map-side partial per (flag, status));
+    // decimal-exact sums, the q1_agg cast convention
+    "q_pivot" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .select(
+          col("flag"),
+          coalesce(col("O"), lit(0.0)).as("qty_o"),
+          coalesce(col("F"), lit(0.0)).as("qty_f"),
+        )
+    },
+    // P6 unpivot (melt): the same per-flag totals back to long form —
+    // Spark's Dataset.unpivot, a per-row codegen expansion (no shuffle
+    // beyond the aggregate that feeds it)
+    "q_unpivot" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          sum(when(col("l_linestatus") === "O",
+            col("l_quantity").cast("decimal(18,2)")))
+            .cast("double").as("qty_o"),
+          sum(when(col("l_linestatus") === "F",
+            col("l_quantity").cast("decimal(18,2)")))
+            .cast("double").as("qty_f"),
+        )
+        .unpivot(
+          Array(col("flag")),
+          Array(col("qty_o"), col("qty_f")),
+          "status",
+          "qty",
+        )
+        .where(col("qty").isNotNull)
+    },
     // ---- training-data layer: dedup / text / similarity ----
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
@@ -1581,6 +1619,29 @@ object SparkEntry {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM orders
           |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+      "q_pivot" ->
+        """SELECT l_returnflag AS flag,
+          |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'
+          |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+          |    AS qty_o,
+          |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'F'
+          |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+          |    AS qty_f
+          |FROM lineitem GROUP BY 1""".stripMargin,
+      "q_unpivot" ->
+        """WITH wide AS (SELECT l_returnflag AS flag,
+          |    CAST(sum(CASE WHEN l_linestatus = 'O'
+          |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+          |      AS qty_o,
+          |    CAST(sum(CASE WHEN l_linestatus = 'F'
+          |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+          |      AS qty_f
+          |  FROM lineitem GROUP BY 1)
+          |SELECT flag, status, qty FROM (
+          |  SELECT flag, 'qty_o' AS status, qty_o AS qty FROM wide
+          |  UNION ALL
+          |  SELECT flag, 'qty_f' AS status, qty_f AS qty FROM wide)
+          |WHERE qty IS NOT NULL""".stripMargin,
       "q_dedup_exact" ->
         """SELECT sha256(text) AS sha, count(*) AS cnt,
           |  min(doc_id) AS keep_id
