@@ -482,6 +482,32 @@ object SparkEntry {
             .cast("double").as("total"),
         )
     },
+    // G8b cube: all 2^2 grouping sets over (priority, status) — the
+    // full-lattice sibling of q_rollup_orders
+    "q_cube_orders" -> { (s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
+        )
+    },
+    // G9 exact quantiles: per-flag median + p90 quantity via Spark's
+    // exact percentile (linear interpolation between order statistics —
+    // the same definition as DuckDB's quantile_cont); integral inputs
+    // quantized e6 after ONE interpolation expression per engine
+    "q_quantiles" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)") * 1e6, 0)
+            .cast("long").as("p50_e6"),
+          round(expr("percentile(l_quantity, 0.9)") * 1e6, 0)
+            .cast("long").as("p90_e6"),
+          count(lit(1)).as("cnt"),
+        )
+    },
     // P5 pivot: status-wide quantity matrix per return flag — Spark's
     // relational PIVOT with an EXPLICIT value list (deterministic
     // columns, single scan, map-side partial per (flag, status));
@@ -1619,6 +1645,23 @@ object SparkEntry {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM orders
           |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+      "q_cube_orders" ->
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM orders
+          |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+      // quantile_cont == Spark's exact percentile (linear interpolation
+      // between order statistics); e6 quantization absorbs the one
+      // interpolation double
+      "q_quantiles" ->
+        """SELECT l_returnflag AS flag,
+          |  CAST(round(quantile_cont(l_quantity, 0.5) * 1e6) AS BIGINT)
+          |    AS p50_e6,
+          |  CAST(round(quantile_cont(l_quantity, 0.9) * 1e6) AS BIGINT)
+          |    AS p90_e6,
+          |  count(*) AS cnt
+          |FROM lineitem GROUP BY 1""".stripMargin,
       "q_pivot" ->
         """SELECT l_returnflag AS flag,
           |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'
