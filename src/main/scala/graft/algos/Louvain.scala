@@ -1,0 +1,192 @@
+package graft.algos
+
+import graft._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic one-level Louvain move pass (Blondel et al. 2008, "Fast
+  * unfolding of communities in large networks", J. Stat. Mech. P10008) —
+  * the modularity-MAXIMIZING companion to [[LabelProp]]: LP only finds
+  * communities by plurality voting; this pass greedily improves Newman
+  * modularity Q directly and composes with [[Modularity.of]] for scoring.
+  *
+  * Semantics (unweighted simple graph — the same Q that [[Modularity]]
+  * scores): every vertex v considers joining the community of one of its
+  * neighbors. The standard Louvain gain of moving v into community c,
+  * compared across candidates with the removal-from-own-community term
+  * constant, reduces to ranking candidates by
+  *
+  *   gain2m(v,c) = 2m·k(v,c) − deg(v)·(Σtot(c) − [c = comm(v)]·deg(v))
+  *
+  * where k(v,c) = #neighbors of v currently in c, Σtot(c) = Σ_{u∈c} deg(u),
+  * and the [c = own] correction removes v itself from its community's
+  * degree total (Blondel et al. §2; the 2m scaling clears every division so
+  * the comparison is EXACT INTEGER arithmetic — decimal(38,0) here, HUGEINT
+  * in the DuckDB oracle — no float ordering can diverge cross-engine).
+  *
+  * Determinism devices (the reference Louvain is sequential and
+  * order-dependent; a naive synchronous parallel variant oscillates —
+  * two adjacent vertices can swap communities forever):
+  *   - synchronous rounds: all decisions read the round-START state;
+  *   - strict improvement: move only if best gain2m > stay2m (= gain2m of
+  *     the own community, always a candidate via a k=0 row);
+  *   - smallest-community-label tie-break via max(struct(gain, -nc));
+  *   - parity gating: round r only lets vertices with
+  *     ((vid % 2)+2) % 2 == r % 2 move — adjacent same-round movers are
+  *     halved and the alternation breaks 2-cycles (the standard
+  *     distributed-Louvain mitigation, e.g. Que et al. 2015 §III-B);
+  *   - singleton minimum-label guard (Lu, Halappanavar & Kalyanaraman
+  *     2015, "Parallel heuristics for scalable community detection",
+  *     §4.1): a SINGLETON vertex never moves to a SINGLETON community
+  *     with a larger label. Without it the all-singleton first round
+  *     label-chases (v→w while w→x) and permanently fragments cliques —
+  *     measured on the two-K5-bridge fixture: Q 0.285 without the guard
+  *     vs the optimal 0.452 with it;
+  *   - a FIXED round count, mirrored exactly by the unrolled oracle — no
+  *     engine-converges-early / oracle-freezes-silently slack (the q_mis
+  *     fixpoint-vs-unroll hazard the round-4 ADVICE flagged is structurally
+  *     absent here).
+  *
+  * Execution shape per round (states hash(vid)-partitioned throughout,
+  * LP's scatter substrate reused): Σtot is a groupBy(comm) of state⋈deg
+  * [exchange 1: by comm]; k(v,c) is the LP-style scatter with map-side
+  * [[LongLongDoubleMap]] pre-reduce and ONE repartition by vid
+  * [exchange 2]; candidate gains join k against Σtot on the community key
+  * [exchange 3: by comm — Σtot is |communities|-sized, NOT broadcastable at
+  * 10^12 scale where round 1 has |V| communities]; the argmax groups back
+  * by vid [exchange 4]. Four exchanges per round is inherent to Louvain's
+  * community-level bookkeeping (LP needs one; Louvain adds the Σtot
+  * aggregate + redistribution) — each is a sum/count of longs with map-side
+  * partial aggregation, never a fat row.
+  */
+object Louvain {
+
+  /** @param edges  canonical (src<dst) simple weighted edges; weights are
+    *               IGNORED (unweighted Q, matching [[Modularity.of]]).
+    * @param rounds fixed synchronous move rounds (run exactly, no early
+    *               exit — see determinism notes above).
+    * @return (vid, comm) — comm is the smallest-label convention vid of
+    *         the community each vertex ended in.
+    */
+  def run(edges: Dataset[Edge], rounds: Int = 4): DataFrame =
+    Superstep.withAqeOff(edges.sparkSession) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val base = EdgeBuilder.symmetrize(edges)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adj = Csr.build(base, p, Csr.WeightMode.One)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adjCount = adj.count()
+      // sym entries = 2m; m = |undirected simple edges|
+      val m: Long = base.count() / 2
+      // simple degree, hash(vid)-partitioned (groupBy src leaves it there)
+      val degDf = Superstep.cut(
+        base.toDF().groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .select(col("src").as("vid"), col("deg"))
+      )
+      val twoM = lit(2L * m).cast("decimal(38,0)")
+
+      var state = Superstep.cut(Superstep.vertices(base), adjCount)
+        .select(col("vid"), col("vid").as("comm"))
+      var r = 1
+      while (r <= rounds) {
+        state = Superstep.cut(moveRound(adj, state, degDf, twoM, p, r), adjCount)
+        r += 1
+      }
+      adj.unpersist(false)
+      base.unpersist(false)
+      state
+    }
+
+  /** One synchronous gain-argmax move round. Package-visible for the
+    * plan-shape suite.
+    */
+  private[graft] def moveRound(
+      adj: Dataset[AdjBlock],
+      state: DataFrame,
+      degDf: DataFrame,
+      twoM: org.apache.spark.sql.Column,
+      p: Int,
+      r: Int,
+  ): DataFrame = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    // Σtot(c) = Σ_{v∈c} deg(v) and |c| (for the singleton guard) — state
+    // ⋈deg is exchange-free (both hash(vid)); the groupBy(comm) is
+    // exchange 1
+    val ctot = state.join(degDf, "vid")
+      .groupBy("comm").agg(sum("deg").as("tot"), count(lit(1)).as("csz"))
+      .select(col("comm").as("nc"), col("tot"), col("csz"))
+    // k(v,c): every neighbor scatters its community; map-side pre-reduce
+    // in a primitive map (hub guard), then the ONE vid repartition
+    // (exchange 2), then the final (vid, nc) sum — hash(vid) satisfies
+    // the groupBy(vid, nc) clustering, no extra exchange
+    val partials = Superstep.scatter(adj, state)
+      .select(col("vid"), col("comm"), col("w"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val mm = new LongLongDoubleMap(1 << 12)
+        it.foreach { case (v, c, w) => mm.add(v, c, w) }
+        mm.iterator
+      }
+      .toDF("vid", "nc", "kw")
+    val kTab = partials
+      .repartition(p, col("vid"))
+      .groupBy("vid", "nc")
+      .agg(sum("kw").cast("long").as("k"))
+    // ensure the OWN community is always a candidate (k=0 when no
+    // neighbor shares it) so stay2m falls out of the same gain column;
+    // union erases partitioning metadata — the argmax groupBy re-shuffles
+    // anyway (exchange 4), so nothing extra is paid here
+    val kAll = kTab
+      .unionByName(
+        state.select(col("vid"), col("comm").as("nc"), lit(0L).as("k"))
+      )
+      .groupBy("vid", "nc").agg(max("k").as("k"))
+    // candidate gains: join Σtot on the community key (exchange 3) and
+    // own-state/deg on vid
+    val cand = kAll
+      .join(state, "vid")
+      .join(degDf, "vid")
+      .join(ctot, "nc")
+      .select(
+        col("vid"),
+        col("nc"),
+        col("comm"),
+        col("csz"),
+        (twoM * col("k")
+          - col("deg").cast("decimal(38,0)")
+            * (col("tot")
+              - when(col("nc") === col("comm"), col("deg")).otherwise(lit(0L))))
+          .as("gain"),
+      )
+    val stay = cand.where(col("nc") === col("comm"))
+      .select(col("vid"), col("gain").as("stay"), col("csz").as("ownsz"))
+    // singleton minimum-label guard (see Scaladoc), then argmax with
+    // smallest-nc tie-break (exchange 4); the own community always
+    // participates — at gain == stay it can win the tie but never the
+    // strict > below, so "best is own" degenerates to "keep"
+    val best = cand
+      .join(stay, "vid")
+      .where(
+        col("nc") === col("comm")
+          || !(col("csz") === 1L && col("ownsz") === 1L
+            && col("nc") > col("comm"))
+      )
+      .groupBy("vid")
+      .agg(max(struct(col("gain"), (-col("nc")).as("nn"))).as("b"))
+      .select(col("vid"), (-col("b.nn")).as("bnc"), col("b.gain").as("bgain"))
+    val parity = ((col("vid") % 2) + 2) % 2
+    state
+      .join(stay, Seq("vid"))
+      .join(best, Seq("vid"))
+      .select(
+        col("vid"),
+        when(parity === lit(r % 2) && col("bgain") > col("stay"), col("bnc"))
+          .otherwise(col("comm"))
+          .as("comm"),
+      )
+  }
+}

@@ -425,4 +425,55 @@ object Oracles {
     val b = dsum.values.map(d => d.toDouble * d).sum
     a.toDouble / m - b / (4.0 * m * m)
   }
+
+  /** Deterministic one-level Louvain move pass — mirrors
+    * graft.algos.Louvain EXACTLY (unweighted simple graph, synchronous
+    * gain-argmax rounds in exact BigInt arithmetic, own community always
+    * a candidate, strict improvement, smallest-community tie-break,
+    * ((vid%2)+2)%2 == r%2 parity gate, singleton minimum-label guard,
+    * fixed round count).
+    */
+  def louvain(
+      edges: Seq[(Long, Long, Double)],
+      rounds: Int,
+  ): Map[Long, Long] = {
+    val und = edges
+      .map { case (s, t, _) => (math.min(s, t), math.max(s, t)) }
+      .filter { case (a, b) => a != b }
+      .distinct
+    val m = und.size.toLong
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    und.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v
+      adj.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += u
+    }
+    val verts = adj.keys.toSeq
+    val deg: Map[Long, Long] = adj.map { case (v, ns) => v -> ns.size.toLong }.toMap
+    var comm: Map[Long, Long] = verts.map(v => v -> v).toMap
+    for (r <- 1 to rounds) {
+      val tot = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      val csz = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      verts.foreach { v => tot(comm(v)) += deg(v); csz(comm(v)) += 1L }
+      comm = verts.map { v =>
+        val own = comm(v)
+        val k = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        adj(v).foreach(n => k(comm(n)) += 1L)
+        if (!k.contains(own)) k(own) = 0L
+        val gains = k.map { case (c, kc) =>
+          val corr = if (c == own) deg(v) else 0L
+          c -> (BigInt(2L * m) * kc - BigInt(deg(v)) * (tot(c) - corr))
+        }.toSeq
+        val stay = gains.collectFirst { case (c, g) if c == own => g }.get
+        // singleton minimum-label guard (Lu et al. 2015 §4.1)
+        val allowed = gains.filter { case (c, _) =>
+          c == own || !(csz(c) == 1L && csz(own) == 1L && c > own)
+        }
+        val (bc, bg) = allowed.reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+        }
+        if (((v % 2) + 2) % 2 == r % 2 && bg > stay) v -> bc else v -> own
+      }.toMap
+    }
+    comm
+  }
 }
