@@ -51,7 +51,14 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision is plenty for walls and keeps the line short: the
+    // driver stores only the LAST 2000 chars of stdout (BENCH_r{1..4}
+    // all have parsed:null + a 2000-char tail), so a 73-query map at
+    // full double precision pushed the headline fields out of the
+    // retained window in round 4
+    def f3(v: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // headline: PageRank superstep throughput on this scale's graph.
@@ -93,10 +100,23 @@ object Bench {
       edges.unpersist(false)
       (runs, runs.sortBy(_.edgesPerSec).apply(runs.size / 2))
     }
-    val prSamples = prs.map(_.edgesPerSec).mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries":$qs,"sf":"$sfDir","pr_edges_per_sec":${prMedian.edgesPerSec},"pr_edges_per_sec_samples":$prSamples,"pr_edges":${prMedian.edgeCount},"pr_supersteps":${prMedian.iterations},"pr_seconds":${prMedian.wallSeconds}}"""
-    )
+    val prSamples = prs.map(p => f3(p.edgesPerSec)).mkString("[", ",", "]")
+    // field ORDER is load-bearing: the per-query map (the longest part)
+    // goes first and the headline metric/value/pr fields go LAST, so even
+    // if the driver's 2000-char tail truncates the front of the line, the
+    // summary numbers survive in the retained window. The complete line is
+    // also written to BENCH/last_bench_run.json (best-effort) so committed
+    // copies never depend on the tail at all.
+    val line =
+      s"""{"queries":$qs,"warmup_sec":${f3(warmup)},"sf":"$sfDir","unit":"sec","pr_edges":${prMedian.edgeCount},"pr_supersteps":${prMedian.iterations},"pr_seconds":${f3(prMedian.wallSeconds)},"pr_edges_per_sec_samples":$prSamples,"pr_edges_per_sec":${f3(prMedian.edgesPerSec)},"metric":"total","value":${f3(total)}}"""
+    println(line)
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH/last_bench_run.json")),
+        line + "\n",
+      )
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

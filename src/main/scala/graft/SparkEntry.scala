@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.algos.{Bfs, Coloring, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
@@ -230,11 +230,21 @@ object SparkEntry {
     // sf0.001/0.01/0.1 — the 8-round unrolled oracle carries slack
     // (a fixpoint is stable: conflict-free rounds are no-ops)
     "q_coloring" -> { (s, d) =>
-      Coloring.speculative(
+      val res = Coloring.speculative(
         partEdgeDs(s, d).filter(col("weight") >= 2.0),
         palette = 256,
         hash = sketchHash,
-      ).colors
+      )
+      // the DuckDB oracle unrolls exactly 8 rounds; a dataset needing
+      // more would converge fine in the engine but FREEZE mid-run in the
+      // oracle — fail loudly naming the cause instead of surfacing as an
+      // opaque hash mismatch (fixpoint measured 5/3/2 rounds across sfs)
+      require(
+        res.rounds <= 8,
+        s"q_coloring: engine took ${res.rounds} rounds but the unrolled " +
+          "oracle covers 8 — widen the oracle unroll",
+      )
+      res.colors
     },
     // neighborhood function N(t) + 90%-effective diameter from the same
     // HyperBall chain: N(t) = exact BIGINT sum of the per-vertex ball
@@ -265,10 +275,17 @@ object SparkEntry {
     // sf0.001/0.01/0.1 — the 8-round unrolled oracle carries 2x slack
     // (a fixpoint is stable: once active is empty, rounds are no-ops)
     "q_mis" -> { (s, d) =>
-      Mis.run(
+      val res = Mis.run(
         partEdgeDs(s, d).filter(col("weight") >= 2.0),
         hash = sketchHash,
-      ).mis
+      )
+      // same loud guard as q_coloring: the oracle unrolls 8 rounds
+      require(
+        res.rounds <= 8,
+        s"q_mis: engine took ${res.rounds} rounds but the unrolled " +
+          "oracle covers 8 — widen the oracle unroll",
+      )
+      res.mis
     },
     // eigenvector centrality: 8 L1-normalized power-iteration steps over
     // the symmetrized graph; same e7 quantization contract as the rank
@@ -521,14 +538,74 @@ object SparkEntry {
     // exact percentile (linear interpolation between order statistics —
     // the same definition as DuckDB's quantile_cont); integral inputs
     // quantized e6 after ONE interpolation expression per engine
+    // exact per-group quantiles with the interpolation computed
+    // EXPLICITLY and mirrored token-for-token in the oracle (round-4
+    // ADVICE: relying on Spark `percentile` and DuckDB `quantile_cont`
+    // producing bit-identical doubles from engine-INTERNAL interpolation
+    // was the one cross-engine equality resting on unpinned arithmetic).
+    // Both sides now evaluate: pos = p·(n−1); lo/hi = order statistics at
+    // floor(pos)+1 / min(floor(pos)+2, n); val = lo + (pos−floor(pos))·
+    // (hi−lo) — the same IEEE ops in the same order. Ties in x are safe:
+    // row_number among equal values is arbitrary but picks equal x.
+    // Scale note: per-group sort — the exact path; q_quantiles_approx is
+    // the 100-TB path (mergeable sketch, no global per-group sort).
     "q_quantiles" -> { (s, d) =>
+      val w = Window.partitionBy("flag").orderBy("x")
+      val ranked = t(s, d, "lineitem")
+        .select(
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast("double").as("x"),
+        )
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      def lo(p: Double) = max(
+        when(
+          col("rn") === floor(lit(p) * (col("n") - 1)).cast("long") + 1L,
+          col("x"),
+        ))
+      def hi(p: Double) = max(
+        when(
+          col("rn") === least(
+            floor(lit(p) * (col("n") - 1)).cast("long") + 2L,
+            col("n"),
+          ),
+          col("x"),
+        ))
+      def lerp(p: Double, l: Column, h: Column) = {
+        val pos = lit(p) * (col("cnt") - 1)
+        l + (pos - floor(pos)) * (h - l)
+      }
+      ranked
+        .groupBy("flag")
+        .agg(
+          count(lit(1)).as("cnt"),
+          lo(0.5).as("lo50"), hi(0.5).as("hi50"),
+          lo(0.9).as("lo90"), hi(0.9).as("hi90"),
+        )
+        .select(
+          col("flag"),
+          round(lerp(0.5, col("lo50"), col("hi50")) * 1e6, 0)
+            .cast("long").as("p50_e6"),
+          round(lerp(0.9, col("lo90"), col("hi90")) * 1e6, 0)
+            .cast("long").as("p90_e6"),
+          col("cnt"),
+        )
+    },
+    // approximate per-group quantiles — the 100-TB path: Spark's
+    // approx_percentile (Greenwald-Khanna summaries, mergeable map-side
+    // partials, NO per-group sort). NOT cross-engine bit-portable by
+    // construction: Spark merges GK summaries, DuckDB's approx_quantile
+    // is a t-digest — different sketches, different interpolations — so
+    // this query carries no oracleSql (driver records rows>0) and its
+    // accuracy contract lives in PipelineOpsSpec: |approx − exact| must
+    // respect the GK rank-error bound at accuracy 10000 (rank error
+    // ≤ n/10000, converted to a value bound via the exact order stats).
+    "q_quantiles_approx" -> { (s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag").as("flag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)") * 1e6, 0)
-            .cast("long").as("p50_e6"),
-          round(expr("percentile(l_quantity, 0.9)") * 1e6, 0)
-            .cast("long").as("p90_e6"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90"),
           count(lit(1)).as("cnt"),
         )
     },
@@ -1730,17 +1807,36 @@ object SparkEntry {
           |    AS total
           |FROM orders
           |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
-      // quantile_cont == Spark's exact percentile (linear interpolation
-      // between order statistics); e6 quantization absorbs the one
-      // interpolation double
+      // explicit order-statistic interpolation, mirrored token-for-token
+      // with the Spark side (see the q_quantiles query comment): pos =
+      // p·(n−1), lo/hi at floor(pos)+1 / least(floor(pos)+2, n), one
+      // lerp lo + (pos−floor(pos))·(hi−lo) — identical IEEE evaluation
+      // on both engines, nothing rests on engine-internal interpolation
       "q_quantiles" ->
-        """SELECT l_returnflag AS flag,
-          |  CAST(round(quantile_cont(l_quantity, 0.5) * 1e6) AS BIGINT)
-          |    AS p50_e6,
-          |  CAST(round(quantile_cont(l_quantity, 0.9) * 1e6) AS BIGINT)
-          |    AS p90_e6,
-          |  count(*) AS cnt
-          |FROM lineitem GROUP BY 1""".stripMargin,
+        """WITH ranked AS (
+          |  SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS x,
+          |    row_number() OVER (PARTITION BY l_returnflag
+          |                       ORDER BY l_quantity) AS rn,
+          |    count(*) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM lineitem),
+          |g AS (
+          |  SELECT flag, count(*) AS cnt,
+          |    max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+          |             THEN x END) AS lo50,
+          |    max(CASE WHEN rn = least(CAST(floor(0.5*(n-1)) AS BIGINT) + 2, n)
+          |             THEN x END) AS hi50,
+          |    max(CASE WHEN rn = CAST(floor(0.9*(n-1)) AS BIGINT) + 1
+          |             THEN x END) AS lo90,
+          |    max(CASE WHEN rn = least(CAST(floor(0.9*(n-1)) AS BIGINT) + 2, n)
+          |             THEN x END) AS hi90
+          |  FROM ranked GROUP BY 1)
+          |SELECT flag,
+          |  CAST(round((lo50 + (0.5*(cnt-1) - floor(0.5*(cnt-1)))
+          |    * (hi50 - lo50)) * 1e6) AS BIGINT) AS p50_e6,
+          |  CAST(round((lo90 + (0.9*(cnt-1) - floor(0.9*(cnt-1)))
+          |    * (hi90 - lo90)) * 1e6) AS BIGINT) AS p90_e6,
+          |  cnt
+          |FROM g""".stripMargin,
       "q_pivot" ->
         """SELECT l_returnflag AS flag,
           |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'

@@ -939,4 +939,47 @@ class PipelineOpsSpec extends GraftSuite {
       .collect().map(r => (r.getLong(1), r.getString(2)))
     two.foreach { case (b, s) => assert(s == (if (b < 1) "a" else "b")) }
   }
+
+  // q_quantiles_approx accuracy contract (the query has no DuckDB oracle:
+  // Spark's approx_percentile is a Greenwald-Khanna summary, DuckDB's
+  // approx_quantile a t-digest — different sketches, different
+  // interpolations, not bit-portable by construction). The GK guarantee
+  // at accuracy A is RANK error <= n/A: the returned value's rank must
+  // land within [p·n − n/A − 1, p·n + n/A + 1]. Verified on a skewed
+  // seeded distribution large enough that the sketch actually compresses.
+  test("approx_percentile honors the GK rank-error bound on skewed data") {
+    val r = new scala.util.Random(13)
+    val n = 100000
+    val xs = Array.fill(n)(math.pow(r.nextDouble(), 4) * 1000.0)
+    val df = xs.toSeq.toDF("x")
+    val acc = 10000
+    val sorted = xs.sorted
+    Seq(0.5, 0.9, 0.99).foreach { p =>
+      val v = df
+        .agg(expr(s"approx_percentile(x, $p, $acc)"))
+        .head().getDouble(0)
+      val rank = sorted.count(_ <= v).toDouble
+      val slack = n.toDouble / acc + 1
+      assert(
+        rank >= p * n - slack && rank <= p * n + slack,
+        s"p=$p: value $v has rank $rank, want ${p * n} +/- $slack",
+      )
+    }
+    // determinism within one engine/partitioning: the driver's
+    // rows-only check re-runs the query, so re-evaluation must agree
+    val q = SparkEntry.queries("q_quantiles_approx")
+    val dir = {
+      // synthesize a tiny lineitem-shaped table instead of reading
+      // /root/testdata from a spec: quantiles only need 2 columns
+      val tmp = java.nio.file.Files.createTempDirectory("qapprox").toString
+      (0 until 5000)
+        .map(i => (if (i % 3 == 0) "A" else "N", (i % 50) + 1.0))
+        .toDF("l_returnflag", "l_quantity")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      tmp
+    }
+    val a = q(spark, dir).collect().map(_.toString).sorted
+    val b = q(spark, dir).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "approx quantiles must be re-run stable")
+  }
 }
