@@ -982,6 +982,27 @@ object SparkEntry {
         hash = sketchHash,
       )
     },
+    // IVF with the oversized-list cap BINDING (maxList=16 vs lists of
+    // ~30-125 at every sf): lists keep their 16 smallest ids, overflow
+    // members are not scan candidates — the deterministic bound that
+    // keeps a degenerate single-mode corpus from melting one centroid
+    // key at 100 TB (the jaccard/cosine maxBucket policy applied to
+    // inverted lists). Oracle mirrors the cap with a per-cent
+    // row_number.
+    "q_ivf_capped" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        emb,
+        emb.where(col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k = 5,
+        nlist = 16,
+        nprobe = 4,
+        hash = sketchHash,
+        maxList = 16,
+      )
+    },
     // multi-band SRP cosine near-dup pairs (4 bands x 4 bits, per-bucket
     // cap, exact rounded-cosine verify at threshold 0.4 — this corpus's
     // max pairwise cosine is ~0.51, so a "near-dup" threshold returns
@@ -2257,6 +2278,41 @@ object SparkEntry {
            |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
            |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
            |  FROM probes p JOIN asg a ON a.cent = p.cent
+           |  JOIN e qe ON qe.vec_id = p.query_id
+           |  JOIN e ce ON ce.vec_id = a.vec_id
+           |  WHERE a.vec_id <> p.query_id)
+           |SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM scored) WHERE rnk <= 5""".stripMargin,
+      // q_ivf_ann with the binding maxList=16 cap: identical chain plus
+      // one capped-assignment CTE (per-cent row_number over vec_id <= 16)
+      // — mirrors Similarity.ivfTopK's capLists exactly
+      "q_ivf_capped" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |cents AS (SELECT vec_id AS cent, v AS cv FROM e
+           |  ORDER BY ${ph("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+           |asg AS (SELECT vec_id, cent FROM (
+           |  SELECT e.vec_id, c.cent,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(-list_cosine_similarity(e.v, c.cv), 6),
+           |               c.cent) AS rn
+           |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+           |casg AS (SELECT vec_id, cent FROM (
+           |  SELECT vec_id, cent,
+           |    row_number() OVER (PARTITION BY cent ORDER BY vec_id) AS lr
+           |  FROM asg) WHERE lr <= 16),
+           |probes AS (SELECT vec_id AS query_id, cent FROM (
+           |  SELECT e.vec_id, c.cent,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(-list_cosine_similarity(e.v, c.cv), 6),
+           |               c.cent) AS rn
+           |  FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 4),
+           |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+           |  FROM probes p JOIN casg a ON a.cent = p.cent
            |  JOIN e qe ON qe.vec_id = p.query_id
            |  JOIN e ce ON ce.vec_id = a.vec_id
            |  WHERE a.vec_id <> p.query_id)

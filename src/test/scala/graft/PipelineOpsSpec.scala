@@ -391,6 +391,36 @@ class PipelineOpsSpec extends GraftSuite {
     assert(ivf == exact)
   }
 
+  test("IVF maxList bounds a degenerate all-identical-embedding list") {
+    // every vector identical -> ONE centroid absorbs the whole corpus no
+    // matter how many Lloyd rounds run; maxList must bound the scan
+    val n = 500
+    val same = (0L until n).map(i => (i, Array.fill(8)(0.25f)))
+    val df = same.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    val got = Similarity
+      .ivfTopK(df, q, "vec_id", "embedding", k = 5,
+        nlist = 4, nprobe = 4, maxList = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // full k returned per query, and every scanned neighbor comes from
+    // the 16 smallest ids (the deterministic cap survivors)
+    assert(got.groupBy(_._1).forall(_._2.length == 5), got.mkString(","))
+    got.foreach { case (_, nb, _) =>
+      assert(nb < 16, s"neighbor $nb outside the capped list")
+    }
+    // and the cap actually limits per-list candidate volume: the capped
+    // assignment carries exactly min(|list|, maxList) rows in total
+    val c = df.select(col("vec_id").as("cid_"),
+      col("embedding").cast("array<double>").as("cvec"))
+    val cents = c
+      .orderBy(graft.functions.Hash64.Xx.one(col("cid_")), col("cid_"))
+      .limit(4)
+      .select(col("cid_").as("cent"), col("cvec").as("centvec"))
+    val asg = Similarity.assignToNearestCentroid(c, "cid_", "cvec", cents, 6)
+    assert(asg.count() == n, "degenerate corpus must land in one list")
+    assert(asg.select(col("cent")).distinct().count() == 1)
+  }
+
   test("bpe-ish token count: letter runs, digit runs, single punct") {
     val df = Seq(
       (1L, "hello world42 foo-bar!"), // hello,world,42,foo,-,bar,! = 7

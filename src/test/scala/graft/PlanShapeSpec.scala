@@ -204,6 +204,21 @@ class PlanShapeSpec extends GraftSuite {
       s"rank-limit pushdown missing:\n$plan")
   }
 
+  test("IVF maxList cap gets the rank-limit pushdown (WindowGroupLimit)") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val plan = graft.operators.Similarity
+      .ivfTopK(df, df.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 3, nlist = 2, nprobe = 2, maxList = 8)
+      .queryExecution.executedPlan.toString
+    // the capped inverted list must pre-trim map-side: a degenerate list
+    // ships O(tasks*maxList) rows through the cent exchange, never its
+    // full membership (same device as the stratified-sample pin above)
+    assert(plan.contains("WindowGroupLimit"),
+      s"IVF list-cap pushdown missing:\n$plan")
+  }
+
   test("orderBy+limit fuses to TakeOrderedAndProject (no full sort)") {
     val df = spark.range(1000).toDF("v")
       .orderBy(col("v").desc).limit(5)
