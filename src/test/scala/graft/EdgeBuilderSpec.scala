@@ -65,6 +65,35 @@ class EdgeBuilderSpec extends GraftSuite {
     assert(v.count() == 4) // A,B,C in r1 + D in r2
   }
 
+  test("resolveCollisions repairs planted collisions deterministically") {
+    import spark.implicits._
+    // real xxhash64 string collisions can't be crafted, so plant
+    // duplicate vids directly: the dictionary contract is on (vid, key)
+    // rows, which is exactly what resolveCollisions consumes
+    val planted = Seq(
+      VertexKey(1L, "r/a"), VertexKey(1L, "r/b"), VertexKey(1L, "r/c"),
+      VertexKey(2L, "r/d"),
+      VertexKey(3L, "r/e"), VertexKey(3L, "r/f"),
+    )
+    def run() = EdgeBuilder
+      .resolveCollisions(spark.createDataset(planted))
+      .collect().map(v => v.key -> v.vid).toMap
+    val got = run()
+    // all keys survive with distinct ids
+    assert(got.keySet == planted.map(_.key).toSet)
+    assert(got.values.toSet.size == planted.length)
+    // the smallest key of each colliding vid KEEPS it; others rehash
+    assert(got("r/a") == 1L && got("r/e") == 3L && got("r/d") == 2L)
+    assert(got("r/b") != 1L && got("r/c") != 1L && got("r/f") != 3L)
+    // pure function of the key set: re-run identical
+    assert(run() == got)
+    // collision-free dictionaries pass through untouched
+    val clean = EdgeBuilder.vertices(spark.createDataset(tiny))
+    val resolved = EdgeBuilder.resolveCollisions(clean)
+      .collect().map(v => v.key -> v.vid).toMap
+    assert(resolved == clean.collect().map(v => v.key -> v.vid).toMap)
+  }
+
   test("symmetrize doubles directed edges and merges weights") {
     val e = edgeDs(Seq((1L, 2L, 2.0), (2L, 1L, 3.0), (2L, 3L, 1.0)))
     val s = EdgeBuilder.symmetrize(e).collect()

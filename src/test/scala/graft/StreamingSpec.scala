@@ -172,6 +172,60 @@ class StreamingSpec extends GraftSuite {
     assert(got.map(t => (t._1, t._5)) == Set((1L, 1.0), (1L, 2.0)), s"got $got")
   }
 
+  test("left-outer interval join == batch left join, never-matched emitted") {
+    // same attribution rows as the inner test, PLUS: the outer form must
+    // emit ad 2 (clicked only before the impression) and ad 3 (never
+    // clicked) with NULL click columns once the watermark passes
+    // left.ts + bound. A far-future sentinel on BOTH sides advances the
+    // watermark past every flush point (watermark = min over sources of
+    // max(ts) − horizon; without it, AvailableNow ends with the watermark
+    // still before ts(50) and the unmatched rows stay buffered); left
+    // maxFilesPerTrigger=1 forces multiple microbatches so a batch RUNS
+    // after the advance.
+    val imps = Seq(
+      (1L, ts(0), 10.0),
+      (2L, ts(20), 20.0),
+      (3L, ts(40), 30.0),
+      (999L, ts(300), 0.0),
+    )
+    val clicks = Seq(
+      (1L, ts(4), 1.0),
+      (1L, ts(9), 2.0),
+      (1L, ts(15), 3.0), // outside the 10-min bound
+      (2L, ts(12), 4.0), // before its impression — never matches
+      (999L, ts(300), 9.0),
+    )
+    val ldir = Files.createTempDirectory("graft-sslo-left").toString
+    val rdir = Files.createTempDirectory("graft-sslo-right").toString
+    val lb = imps.toDF("ad_id", "ts", "cost")
+    val rb = clicks.toDF("ad_id", "ts", "click_value")
+    lb.repartition(4).write.mode("overwrite").parquet(ldir)
+    rb.write.mode("overwrite").parquet(rdir)
+    val out = Streams.intervalJoinLeftOuter(
+      spark.readStream.schema(lb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(ldir),
+      spark.readStream.schema(rb.schema).parquet(rdir),
+      "ad_id", "ts",
+      watermark = "1 hour", bound = "10 minutes")
+    runToTable(out, "sslo_join", "append")
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        Option(r.getTimestamp(3)), Option(r.get(4))))
+      .toSet
+    val got = key(spark.table("sslo_join"))
+    val want = key(Streams.intervalJoinLeftOuter(
+      lb, rb, "ad_id", "ts", watermark = "1 hour", bound = "10 minutes"))
+    assert(got == want, s"got $got want $want")
+    // by hand: ad 1 keeps its two in-bound clicks; ads 2 and 3 appear
+    // exactly once each, with NULL click columns
+    assert(got.count(_._1 == 1L) == 2)
+    Seq(2L, 3L).foreach { ad =>
+      val rows = got.filter(_._1 == ad)
+      assert(rows.size == 1 && rows.head._4.isEmpty && rows.head._5.isEmpty,
+        s"ad $ad: $rows")
+    }
+  }
+
   test("streaming dedup drops in-horizon duplicate ids, keeps first") {
     val dir = Files.createTempDirectory("graft-stream-dedup").toString
     val out = Streams.dedupByKey(
