@@ -213,6 +213,59 @@ class GraphExtrasSpec extends GraftSuite {
     assert(trussEdges(Seq.empty, 3).isEmpty)
   }
 
+  /** Three K7 cliques (stable at k=6) plus a band-4 chain that peels in
+    * three cascading rounds (simulated drop sequence 33/57/24 of 177) —
+    * the gradual-peel shape the incremental support-maintenance path
+    * exists for.
+    */
+  private def cascadeFixture: Seq[(Long, Long, Double)] = {
+    val cliques = for {
+      base <- Seq(1000L, 1010L, 1020L)
+      i <- 0 until 7
+      j <- (i + 1) until 7
+    } yield (base + i, base + j, 1.0)
+    val chain = for {
+      i <- 0L to 30L
+      d <- 1L to 4L
+      if i + d <= 30L
+    } yield (i, i + d, 1.0)
+    cliques ++ chain
+  }
+
+  test("ktruss: incremental and full support maintenance are result-identical") {
+    val g = cascadeFixture
+    val want = Oracles.ktruss(g, 6)
+    assert(want.size == 63) // exactly the three K7s survive
+    // forced-incremental: every drop round must take the incremental path
+    val inc = graft.algos.KTruss.run(edgeDs(g), 6, fullRecountFactor = 1L)
+    val incEdges =
+      inc.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incEdges == want)
+    assert(inc.rounds.count(_.path == "incremental") == 3,
+      s"trace: ${inc.rounds}")
+    assert(inc.rounds.last.path == "fixpoint")
+    // forced-full and the default gate give the same surviving set
+    val full = graft.algos.KTruss
+      .run(edgeDs(g), 6, fullRecountFactor = Long.MaxValue)
+    assert(full.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    assert(full.rounds.count(_.path == "full") == 3, s"trace: ${full.rounds}")
+    assert(trussEdges(g, 6) == want)
+    // drop counts must agree exactly between the two paths
+    assert(inc.rounds.map(_.dropped) == full.rounds.map(_.dropped))
+  }
+
+  test("ktruss: forced-incremental matches the oracle on seeded random graphs") {
+    Seq(17L, 43L).foreach { seed =>
+      val g = seededRandomGraph(seed, 20, 70)
+      Seq(3, 4).foreach { k =>
+        val r = graft.algos.KTruss.run(edgeDs(g), k, fullRecountFactor = 1L)
+        val got = r.edges.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        assert(got == Oracles.ktruss(g, k), s"seed $seed k $k")
+      }
+    }
+  }
+
   // ---- deterministic random walks ----
 
   /** Plain-Scala mirror of Hash64.Portable.one over a string: low 60
