@@ -19,6 +19,21 @@ final case class HarmonicResult(
     scale: Long, // L — divide hc_scaled by L·1e7 for the real-valued HC
 )
 
+/** One materialized HyperBall register chain: the final sparse state
+  * plus the per-round estimate frames (t = 0..rounds, each
+  * (vid, present, s_scaled, est_e7) over that round's CUT state).
+  * Every HyperBall product — final estimates, harmonic centrality, the
+  * neighborhood function — is a cheap derivation over these frames, so
+  * callers that need several products build the chain ONCE and derive
+  * (the round-4 advice: the three driver queries used to re-run the
+  * identical 4-round scatter chain each).
+  */
+final case class HyperBallChain(
+    state: DataFrame,
+    perRound: Vector[DataFrame],
+    rounds: Int,
+)
+
 /** Approximate neighborhood function via HyperBall (Boldi & Vigna,
   * "In-Core Computation of Geometric Centralities with HyperBall",
   * 2013): after t rounds, each vertex holds a HyperLogLog sketch of its
@@ -73,11 +88,16 @@ object HyperBall {
     }.otherwise(lit(MaxRho))
   }
 
-  def run(
+  /** Run the register chain ONCE: T supersteps, each round's state cut
+    * (materialized), with the per-round estimate frames collected lazily
+    * over those cut states (they cost nothing until an action reads
+    * them). All public products derive from the returned chain.
+    */
+  def chain(
       edges: Dataset[Edge],
       rounds: Int,
       hash: Hash64 = Hash64.Xx,
-  ): HyperBallResult = Superstep.withAqeOff(edges.sparkSession) {
+  ): HyperBallChain = Superstep.withAqeOff(edges.sparkSession) {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -102,6 +122,7 @@ object HyperBall {
         ),
       nVerts,
     )
+    var perRound = Vector(estimateFrame(state))
     var iter = 0
     while (iter < rounds) {
       val msgs = Superstep
@@ -114,12 +135,22 @@ object HyperBall {
         .agg(max("val").as("val"))
       state = Superstep.cut(merged, nVerts * Registers)
       iter += 1
+      perRound :+= estimateFrame(state)
     }
-    val estimates = estimateFrame(state)
     adj.unpersist(false)
     base.unpersist(false)
-    HyperBallResult(state, estimates, iter)
+    HyperBallChain(state, perRound, rounds)
   }
+
+  def run(
+      edges: Dataset[Edge],
+      rounds: Int,
+      hash: Hash64 = Hash64.Xx,
+  ): HyperBallResult = estimatesOf(chain(edges, rounds, hash))
+
+  /** Final-round estimates from an existing chain (no new supersteps). */
+  def estimatesOf(c: HyperBallChain): HyperBallResult =
+    HyperBallResult(c.state, c.perRound.last, c.rounds)
 
   /** Ball-size estimate per vertex from a sparse register state:
     * (vid, present, s_scaled, est_e7). Exact integer arithmetic up to
@@ -184,68 +215,31 @@ object HyperBall {
       edges: Dataset[Edge],
       rounds: Int,
       hash: Hash64 = Hash64.Xx,
-  ): HarmonicResult = Superstep.withAqeOff(edges.sparkSession) {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val spark = edges.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+  ): HarmonicResult = harmonicOf(chain(edges, rounds, hash))
 
-    val base = EdgeBuilder.symmetrize(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val adj = Csr.build(base, p, Csr.WeightMode.One)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nVerts = Superstep.vertices(base).count()
-
+  /** Harmonic centrality from an existing chain: one union-aggregate
+    * over the already-cut per-round frames — no new supersteps.
+    */
+  def harmonicOf(c: HyperBallChain): HarmonicResult = {
+    val rounds = c.rounds
     val l = (1 to rounds).foldLeft(1L)((acc, t) => lcm(acc, t.toLong))
     def coef(t: Int): Long =
       if (t == 0) -l
       else if (t == rounds) l / rounds
       else l / t - l / (t + 1)
-
-    val h = hash.one(col("vid")).bitwiseAND(lit((1L << 60) - 1L))
-    var state: DataFrame = Superstep.cut(
-      Superstep.vertices(base)
-        .select(
-          col("vid"),
-          h.bitwiseAND(lit(15L)).cast("int").as("idx"),
-          rho(shiftright(h, 4)).as("val"),
-        ),
-      nVerts,
-    )
-    // per-round estimate frames read the round's CUT state (already
-    // materialized), so collecting them lazily costs nothing extra
-    var perRound = Vector(estimateFrame(state).select(
-      col("vid"),
-      col("est_e7"),
-      lit(coef(0)).as("c"),
-      lit(0).as("t"),
-    ))
-    var iter = 0
-    while (iter < rounds) {
-      val msgs = Superstep
-        .scatter(adj, state)
-        .select(col("vid"), col("idx"), col("val"))
-      val merged = msgs
-        .unionByName(state)
-        .repartition(p, col("vid"))
-        .groupBy("vid", "idx")
-        .agg(max("val").as("val"))
-      state = Superstep.cut(merged, nVerts * Registers)
-      iter += 1
-      perRound :+= estimateFrame(state).select(
+    val centralities = c.perRound.zipWithIndex.map { case (f, t) =>
+      f.select(
         col("vid"),
         col("est_e7"),
-        lit(coef(iter)).as("c"),
-        lit(iter).as("t"),
+        lit(coef(t)).as("c"),
+        lit(t).as("t"),
       )
-    }
-    val centralities = perRound.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
       .groupBy("vid")
       .agg(
         max(when(col("t") === rounds, col("est_e7"))).as("ball_e7"),
         sum(col("est_e7") * col("c")).as("hc_scaled"),
       )
-    adj.unpersist(false)
-    base.unpersist(false)
     HarmonicResult(centralities, rounds, l)
   }
 
@@ -275,60 +269,26 @@ object HyperBall {
       edges: Dataset[Edge],
       rounds: Int,
       hash: Hash64 = Hash64.Xx,
-  ): DataFrame = Superstep.withAqeOff(edges.sparkSession) {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val spark = edges.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+  ): DataFrame = neighborhoodOf(chain(edges, rounds, hash))
 
-    val base = EdgeBuilder.symmetrize(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val adj = Csr.build(base, p, Csr.WeightMode.One)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nVerts = Superstep.vertices(base).count()
-
-    val h = hash.one(col("vid")).bitwiseAND(lit((1L << 60) - 1L))
-    var state: DataFrame = Superstep.cut(
-      Superstep.vertices(base)
-        .select(
-          col("vid"),
-          h.bitwiseAND(lit(15L)).cast("int").as("idx"),
-          rho(shiftright(h, 4)).as("val"),
-        ),
-      nVerts,
-    )
-    // per-round frames read the round's CUT state (already materialized)
-    var perRound = Vector(
-      estimateFrame(state).select(lit(0).as("t"), col("est_e7")))
-    var iter = 0
-    while (iter < rounds) {
-      val msgs = Superstep
-        .scatter(adj, state)
-        .select(col("vid"), col("idx"), col("val"))
-      val merged = msgs
-        .unionByName(state)
-        .repartition(p, col("vid"))
-        .groupBy("vid", "idx")
-        .agg(max("val").as("val"))
-      state = Superstep.cut(merged, nVerts * Registers)
-      iter += 1
-      perRound :+= estimateFrame(state)
-        .select(lit(iter).as("t"), col("est_e7"))
-    }
-    val nf = perRound.reduce(_ unionByName _)
+  /** Neighborhood function + 90% reach test from an existing chain:
+    * one |V|-row sum per round over the already-cut frames.
+    */
+  def neighborhoodOf(c: HyperBallChain): DataFrame = {
+    val nf = c.perRound.zipWithIndex.map { case (f, t) =>
+      f.select(lit(t).as("t"), col("est_e7"))
+    }.reduce(_ unionByName _)
       .groupBy("t")
       .agg(sum(col("est_e7")).as("nf_e7"))
-    val last = nf.where(col("t") === rounds)
+    val last = nf.where(col("t") === c.rounds)
       .select(col("nf_e7").as("nf_last"))
-    val out = nf
+    nf
       .join(broadcast(last))
       .select(
         col("t"),
         col("nf_e7"),
         (col("nf_e7") * 10L >= col("nf_last") * 9L).as("reach90"),
       )
-    adj.unpersist(false)
-    base.unpersist(false)
-    out
   }
 
   private def lcm(a: Long, b: Long): Long = {
