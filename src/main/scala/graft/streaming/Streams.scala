@@ -2,6 +2,28 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One buffered as-of row (epoch-millis timestamp + opaque payload). */
+final case class AsofRow(ts: Long, payload: String)
+
+/** Per-key as-of join state: rights not yet compacted away, lefts not
+  * yet emittable. Bounded: lefts drain once the watermark passes their
+  * timestamp; rights older than the watermark compact to the single
+  * latest (the carry-in row every future left needs).
+  */
+final case class AsofState(rights: Seq[AsofRow], lefts: Seq[AsofRow])
+
+/** Streaming as-of output: the left row plus its matched right (NULL
+  * when no right at-or-before the left timestamp exists).
+  */
+final case class AsofMatch(
+    key: Long,
+    ts: java.sql.Timestamp,
+    payload: String,
+    r_ts: Option[java.sql.Timestamp],
+    r_payload: Option[String],
+)
 
 /** Structured Streaming surface (SURVEY §2.A A10).
   *
@@ -132,6 +154,106 @@ object Streams {
         col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $bound"),
       "left_outer",
     ).drop(s"r_$keyCol")
+  }
+
+  /** Streaming AS-OF join — the streaming dual of
+    * [[graft.operators.Relational.asofJoin]] (round-4 verdict "What's
+    * missing" #5, second half): each left event (trade/usage row) is
+    * matched to the LATEST right event (quote/dimension version) with
+    * the same key and `right.ts <= left.ts`. Built-in stream-stream
+    * joins cannot express argmax-by-time, so this is the sanctioned
+    * `flatMapGroupsWithState` case: tag both sides, union, watermark,
+    * group by key, and keep exactly two bounded buffers per key —
+    *
+    *   - lefts with `ts >= watermark` (emitted, in append mode, as soon
+    *     as the watermark passes their timestamp: any right still to
+    *     arrive has `ts >= watermark > left.ts` and can no longer win);
+    *   - rights with `ts >= watermark`, plus the SINGLE latest right
+    *     older than the watermark — the carry-in row, the only old
+    *     right any future left can match.
+    *
+    * An event-time timeout flushes pending lefts when their key goes
+    * quiet, and a `retentionMs` timer garbage-collects the carry-in of
+    * keys silent past the horizon (the documented trade: a left
+    * arriving after `retentionMs` of key silence re-starts with no
+    * carry-in). Same determinism contract as the batch form: (key, ts)
+    * unique on the right (equal-ts ties break on the greater payload
+    * string). Payload travels as ONE string column (an id to re-join on,
+    * or JSON) so the state schema stays fixed; both sides are projected
+    * to (keyCol → key: long, tsCol → ts: timestamp, payloadCol →
+    * payload: string). Spec-verified equal to the batch asofJoin over
+    * the same rows, including out-of-order arrivals, carry-in across
+    * microbatches, and never-matched lefts.
+    */
+  def asofJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCol: String,
+      watermark: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+  ): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def tag(df: DataFrame, side: Int): DataFrame = df.select(
+      col(keyCol).cast("long").as("key"),
+      col(tsCol).cast("timestamp").as("ts"),
+      lit(side).as("side"),
+      col(payloadCol).cast("string").as("payload"),
+    )
+    val tagged = tag(right, 0)
+      .unionByName(tag(left, 1))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Int, String)]
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k, it, state: GroupState[AsofState]) =>
+          val w = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var rights = st.rights
+          var lefts = st.lefts
+          it.foreach { e =>
+            if (e._3 == 0) rights :+= AsofRow(e._2.getTime, e._4)
+            else lefts :+= AsofRow(e._2.getTime, e._4)
+          }
+          // lefts strictly below the watermark are complete: every right
+          // at-or-before their ts has either arrived or is late-dropped
+          val (ready, pending) = lefts.partition(_.ts < w)
+          val sorted = rights.sortBy(r => (r.ts, r.payload))
+          val out = ready.sortBy(l => (l.ts, l.payload)).map { l =>
+            val m = sorted.foldLeft(Option.empty[AsofRow]) { (acc, r) =>
+              if (r.ts <= l.ts) Some(r) else acc
+            }
+            AsofMatch(
+              k,
+              new java.sql.Timestamp(l.ts),
+              l.payload,
+              m.map(r => new java.sql.Timestamp(r.ts)),
+              m.map(_.payload),
+            )
+          }
+          // compact: one carry-in below the watermark + all fresh rights
+          val (old, fresh) = sorted.partition(_.ts < w)
+          val kept = (if (old.nonEmpty) Seq(old.last) else Nil) ++ fresh
+          val retentionExpired =
+            state.hasTimedOut && pending.isEmpty && out.isEmpty
+          if ((pending.isEmpty && kept.isEmpty) || retentionExpired) {
+            state.remove()
+          } else {
+            state.update(AsofState(kept, pending))
+            // flush timer for pending lefts; GC timer for carry-in-only
+            // state (must be strictly past the current watermark)
+            val next =
+              if (pending.nonEmpty) pending.map(_.ts).min
+              else w + retentionMs
+            state.setTimeoutTimestamp(math.max(next, w + 1))
+          }
+          out.iterator
+      }
+      .toDF()
   }
 
   /** Watermarked tumbling-window aggregation — the streaming dual of the

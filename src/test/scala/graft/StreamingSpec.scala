@@ -199,7 +199,16 @@ class StreamingSpec extends GraftSuite {
     val rdir = Files.createTempDirectory("graft-sslo-right").toString
     val lb = imps.toDF("ad_id", "ts", "cost")
     val rb = clicks.toDF("ad_id", "ts", "click_value")
-    lb.repartition(4).write.mode("overwrite").parquet(ldir)
+    // the sentinel must be the LAST left file the source reads: the file
+    // source orders by modification time, and same-mtime files from one
+    // write land in arbitrary order — a sentinel file read FIRST jumps
+    // the watermark and late-drops every real left row (observed flake).
+    // Write it as a separate, strictly-later append.
+    lb.where(col("ad_id") =!= 999L)
+      .repartition(3).write.mode("overwrite").parquet(ldir)
+    Thread.sleep(1000)
+    lb.where(col("ad_id") === 999L)
+      .coalesce(1).write.mode("append").parquet(ldir)
     rb.write.mode("overwrite").parquet(rdir)
     val out = Streams.intervalJoinLeftOuter(
       spark.readStream.schema(lb.schema)
@@ -223,6 +232,78 @@ class StreamingSpec extends GraftSuite {
       val rows = got.filter(_._1 == ad)
       assert(rows.size == 1 && rows.head._4.isEmpty && rows.head._5.isEmpty,
         s"ad $ad: $rows")
+    }
+  }
+
+  test("streaming as-of join == batch asofJoin, carry-in and never-matched") {
+    // trades matched to the latest quote at-or-before them. Covers: a
+    // quote BETWEEN two trades (carry-in), an equal-timestamp quote
+    // (matches, like the batch window's right-before-left order), a key
+    // with no quotes at all, and a key whose only quote is AFTER its
+    // trade (both → NULL). The far-future sentinel on both sides
+    // advances the watermark past every trade (emission needs
+    // watermark > left.ts); left maxFilesPerTrigger=1 forces multiple
+    // microbatches so carry-in state crosses batch boundaries.
+    val quotes = Seq(
+      (1L, ts(2), "q2"),
+      (1L, ts(8), "q8"),
+      (3L, ts(10), "q10"), // after key 3's only trade — never matches
+      (999L, ts(300), "qs"),
+    )
+    val trades = Seq(
+      (1L, ts(5), "t5"), // -> q2
+      (1L, ts(8), "t8"), // equal ts -> q8
+      (1L, ts(20), "t20"), // -> q8 via carry-in
+      (2L, ts(3), "t3"), // no quotes for key 2 -> NULL
+      (3L, ts(4), "t4"), // quote exists but only later -> NULL
+      (999L, ts(300), "ts"),
+    )
+    val ldir = Files.createTempDirectory("graft-asof-left").toString
+    val rdir = Files.createTempDirectory("graft-asof-right").toString
+    val lb = trades.toDF("key", "ts", "payload")
+    val rb = quotes.toDF("key", "ts", "payload")
+    // sentinel as a strictly-later file (same mtime-ordering flake fix
+    // as the left-outer interval test): both sides feed ONE union
+    // watermark here, so the right sentinel is dropped too — only the
+    // left one may advance the watermark, and only after every real row
+    lb.where(col("key") =!= 999L)
+      .repartition(3).write.mode("overwrite").parquet(ldir)
+    rb.where(col("key") =!= 999L).write.mode("overwrite").parquet(rdir)
+    Thread.sleep(1000)
+    lb.where(col("key") === 999L)
+      .coalesce(1).write.mode("append").parquet(ldir)
+    val out = Streams.asofJoinStream(
+      spark.readStream.schema(lb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(ldir),
+      spark.readStream.schema(rb.schema).parquet(rdir),
+      "key", "ts", "payload",
+      watermark = "1 hour")
+    runToTable(out, "asof_stream", "append")
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        Option(r.getTimestamp(3)), Option(r.get(4)).map(_.toString)))
+      .toSet
+    val got = key(spark.table("asof_stream"))
+    // batch oracle: Relational.asofJoin over the same rows (sentinel
+    // lefts excluded on both sides — the stream's watermark never
+    // passes them, by design)
+    val want = key(
+      graft.operators.Relational.asofJoin(
+        lb, rb.toDF("rkey", "r_ts", "r_payload"),
+        "key", "ts", "rkey", "r_ts",
+      ).select(
+        col("key"), col("ts"), col("payload"),
+        col("r_ts"), col("r_payload"),
+      ).where(col("key") =!= 999L))
+    assert(!got.exists(_._1 == 999L), s"sentinel leaked: $got")
+    assert(got == want, s"got $got want $want")
+    // by hand: the three key-1 trades match q2 / q8 / q8; keys 2, 3 NULL
+    assert(got.find(_._3 == "t5").get._5.contains("q2"))
+    assert(got.find(_._3 == "t8").get._5.contains("q8"))
+    assert(got.find(_._3 == "t20").get._5.contains("q8"))
+    Seq("t3", "t4").foreach { p =>
+      val row = got.find(_._3 == p).get
+      assert(row._4.isEmpty && row._5.isEmpty, s"$p: $row")
     }
   }
 
