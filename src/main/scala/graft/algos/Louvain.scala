@@ -90,9 +90,22 @@ object Louvain {
 
       var state = Superstep.cut(Superstep.vertices(base), adjCount)
         .select(col("vid"), col("vid").as("comm"))
+      // Σtot has one row per community — bounded by the vertex count, so
+      // the broadcast decision is a free, deterministic count gate (same
+      // policy as KTruss/Dedup): tiny graphs ship the dimension map-side,
+      // 10^10-vertex graphs shuffle it
+      val nVerts = state.count()
+      val bcastTot = nVerts <= (4L << 20)
+      val debug = sys.env.get("GRAFT_DEBUG").contains("1")
       var r = 1
       while (r <= rounds) {
-        state = Superstep.cut(moveRound(adj, state, degDf, twoM, p, r), adjCount)
+        val t0 = System.nanoTime()
+        state = Superstep.cut(
+          moveRound(adj, state, degDf, twoM, p, r, bcastTot,
+            candRows = 2L * m + nVerts),
+          adjCount)
+        if (debug)
+          println(f"[louvain] round=$r wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
         r += 1
       }
       adj.unpersist(false)
@@ -110,6 +123,8 @@ object Louvain {
       twoM: org.apache.spark.sql.Column,
       p: Int,
       r: Int,
+      bcastTot: Boolean = true,
+      candRows: Long = 0L,
   ): DataFrame = {
     val spark = adj.sparkSession
     import spark.implicits._
@@ -137,31 +152,48 @@ object Louvain {
       .groupBy("vid", "nc")
       .agg(sum("kw").cast("long").as("k"))
     // ensure the OWN community is always a candidate (k=0 when no
-    // neighbor shares it) so stay2m falls out of the same gain column;
-    // union erases partitioning metadata — the argmax groupBy re-shuffles
-    // anyway (exchange 4), so nothing extra is paid here
+    // neighbor shares it) so stay2m falls out of the same gain column.
+    // union erases partitioning metadata, so re-establish hash(vid) ONCE
+    // (exchange 3) — hash(vid) clusters (vid, nc), so the groupBy here,
+    // the vid joins below, the stay self-join, AND the argmax groupBy
+    // all reuse this single exchange instead of shuffling the |E|-sized
+    // candidate set three more times (measured: q_louvain was the most
+    // expensive query on the board before this)
     val kAll = kTab
       .unionByName(
         state.select(col("vid"), col("comm").as("nc"), lit(0L).as("k"))
       )
+      .repartition(p, col("vid"))
       .groupBy("vid", "nc").agg(max("k").as("k"))
-    // candidate gains: join Σtot on the community key (exchange 3) and
-    // own-state/deg on vid
-    val cand = kAll
-      .join(state, "vid")
-      .join(degDf, "vid")
-      .join(ctot, "nc")
-      .select(
-        col("vid"),
-        col("nc"),
-        col("comm"),
-        col("csz"),
-        (twoM * col("k")
-          - col("deg").cast("decimal(38,0)")
-            * (col("tot")
-              - when(col("nc") === col("comm"), col("deg")).otherwise(lit(0L))))
-          .as("gain"),
-      )
+    // candidate gains: own-state/deg join on vid (exchange-free — all
+    // sides hash(vid)); Σtot is one row per COMMUNITY (≤ |V|, shrinking
+    // every round) → broadcast dimension, never a shuffle of the
+    // |E|-sized candidate set on nc.
+    // CUT HERE: cand is referenced by stay, by the best-join, and
+    // (through stay) by the final state join — left lazy, Catalyst
+    // re-executes the whole scatter→pre-reduce→argmax-input chain once
+    // PER REFERENCE (measured: 26.6 s/round fused vs ~7 s with every
+    // piece materialized, LouvainProbe). One |E|-row materialization per
+    // round buys back the 4-6x chain re-execution.
+    val cand = Superstep.cut(
+      kAll
+        .join(state, "vid")
+        .join(degDf, "vid")
+        .join(if (bcastTot) broadcast(ctot) else ctot, "nc")
+        .select(
+          col("vid"),
+          col("nc"),
+          col("comm"),
+          col("csz"),
+          (twoM * col("k")
+            - col("deg").cast("decimal(38,0)")
+              * (col("tot")
+                - when(col("nc") === col("comm"), col("deg"))
+                  .otherwise(lit(0L))))
+            .as("gain"),
+        ),
+      candRows,
+    )
     val stay = cand.where(col("nc") === col("comm"))
       .select(col("vid"), col("gain").as("stay"), col("csz").as("ownsz"))
     // singleton minimum-label guard (see Scaladoc), then argmax with
