@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Coloring, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
+import graft.algos.{Bfs, Coloring, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, NeighborSample, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Corpus, Dedup, Multimodal, Relational, Similarity}
 
@@ -281,6 +281,18 @@ object SparkEntry {
         .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
       val seeds = Superstep.vertices(edges).where(col("vid") % 20 === 0)
       Walks.run(edges, seeds, steps = 4, maxNbrs = 64, hash = sketchHash)
+    },
+    // GraphSAGE-style fixed-fanout neighbor sampling (8 then 4) from the
+    // vid%20==0 seeds over the weight>=2 subgraph: hash-ranked picks per
+    // (seed, src) make the minibatch subgraph deterministic and the
+    // DuckDB oracle replays both hops exactly in portable mode
+    "q_neighbor_sample" -> { (s, d) =>
+      import s.implicits._
+      val edges = Superstep
+        .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
+      val seeds = Superstep.vertices(edges).where(col("vid") % 20 === 0)
+      NeighborSample.run(
+        edges, seeds, fanouts = Seq(8, 4), maxNbrs = 64, hash = sketchHash)
     },
     // maximal independent set (Luby, hash priorities) over the weight>=2
     // subgraph: exact-match deterministic through the pluggable hash —
@@ -1399,6 +1411,38 @@ object SparkEntry {
            |$chain
            |SELECT wid, CAST(0 AS INT) AS step, wid AS vid FROM w0
            |$unions""".stripMargin
+      },
+      // GraphSAGE neighbor sampling — both hops replayed: rank each
+      // frontier vertex's capped neighbors by portableHash of
+      // "hop,seed,src,dst" and keep the 8 (hop 1) / 4 (hop 2) smallest;
+      // the hop-2 frontier is the DISTINCT sampled (seed, dst) set,
+      // exactly as NeighborSample.run folds it
+      "q_neighbor_sample" -> {
+        def hop(t: Int, prev: String, f: Int): String =
+          s"""s$t AS MATERIALIZED (
+             |  SELECT seed, CAST($t AS INT) AS hop, src, dst FROM (
+             |    SELECT f.seed, n.src, n.dst,
+             |      row_number() OVER (PARTITION BY f.seed, n.src
+             |        ORDER BY (${ph(
+                      s"'$t,' || f.seed || ',' || n.src || ',' || n.dst")}),
+             |        n.dst) AS rn
+             |    FROM $prev f JOIN nb n ON f.cur = n.src) t
+             |  WHERE rn <= $f)""".stripMargin
+        s"""WITH $edgesCte,
+           |e2 AS (SELECT src, dst FROM e WHERE weight >= 2),
+           |sym AS (SELECT src, dst FROM e2
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
+           |nb AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst,
+           |      row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+           |    FROM sym) t WHERE rn <= 64),
+           |f0 AS (SELECT DISTINCT src AS seed, src AS cur
+           |       FROM nb WHERE src % 20 = 0),
+           |${hop(1, "f0", 8)},
+           |f1 AS (SELECT DISTINCT seed, dst AS cur FROM s1),
+           |${hop(2, "f1", 4)}
+           |SELECT * FROM s1 UNION ALL SELECT * FROM s2""".stripMargin
       },
       // Luby MIS — 8 unrolled rounds over the weight>=2 subgraph: per
       // round every active vertex draws priority = portableHash("r,vid")

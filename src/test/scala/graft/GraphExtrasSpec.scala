@@ -352,6 +352,93 @@ class GraphExtrasSpec extends GraftSuite {
     assert(got == again)
   }
 
+  // ---- GraphSAGE neighbor sampling ----
+
+  private def neighborSampleOracle(
+      g: Seq[(Long, Long, Double)],
+      seeds: Seq[Long],
+      fanouts: Seq[Int],
+      maxNbrs: Int,
+  ): Set[(Long, Int, Long, Long)] = {
+    val adj = g
+      .flatMap { case (a, b, _) =>
+        if (a == b) Nil else Seq(a -> b, b -> a)
+      }
+      .distinct
+      .groupBy(_._1)
+      .map { case (v, ns) => v -> ns.map(_._2).sorted.take(maxNbrs).toVector }
+    var frontier: Set[(Long, Long)] =
+      seeds.distinct.filter(adj.contains).map(s => (s, s)).toSet
+    val rows = Set.newBuilder[(Long, Int, Long, Long)]
+    fanouts.zipWithIndex.foreach { case (f, i) =>
+      val hop = i + 1
+      val samp = frontier.toSeq.flatMap { case (seed, cur) =>
+        adj.getOrElse(cur, Vector.empty)
+          .sortBy(n => (md5PortableHash(s"$hop,$seed,$cur,$n"), n))
+          .take(f)
+          .map(n => (seed, hop, cur, n))
+      }
+      rows ++= samp
+      frontier = samp.map { case (seed, _, _, n) => (seed, n) }.toSet
+    }
+    rows.result()
+  }
+
+  private def runSample(
+      g: Seq[(Long, Long, Double)],
+      seeds: Seq[Long],
+      fanouts: Seq[Int],
+      maxNbrs: Int,
+      hash: graft.functions.Hash64,
+  ): Set[(Long, Int, Long, Long)] =
+    graft.algos.NeighborSample
+      .run(edgeDs(g), seeds.toDF("vid"), fanouts, maxNbrs, hash)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("neighbor sampling (portable hash) replays the plain-Scala oracle") {
+    Seq(23L, 47L).foreach { seed =>
+      val g = seededRandomGraph(seed, 25, 70)
+      val seeds = Oracles.verticesOf(g).filter(_ % 3 == 0)
+      Seq(64, 3).foreach { cap => // uncapped-ish + a cap that bites
+        val got = runSample(
+          g, seeds, Seq(4, 2), cap, graft.functions.Hash64.Portable)
+        val want = neighborSampleOracle(g, seeds, Seq(4, 2), cap)
+        assert(got == want, s"seed $seed cap $cap")
+      }
+    }
+  }
+
+  test("neighbor sampling (xxhash64): fanout bounds, closure, determinism") {
+    val g = Fixtures.twoCliquesBridge
+    val seeds = Seq(1L, 6L, 999L) // 999 absent from the graph
+    val fanouts = Seq(3, 2)
+    val got = runSample(g, seeds, fanouts, 64, graft.functions.Hash64.Xx)
+    val und = g.map { case (a, b, _) =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    assert(got.map(_._1) == Set(1L, 6L)) // absent seed produces nothing
+    got.foreach { case (_, _, s, d) =>
+      assert(und.contains((math.min(s, d), math.max(s, d))),
+        s"sampled a non-edge: $s -> $d")
+    }
+    // per (seed, hop, src) at most the hop's fanout
+    got.groupBy(r => (r._1, r._2, r._3)).foreach { case ((sd, hop, src), rs) =>
+      assert(rs.size <= fanouts(hop - 1),
+        s"seed $sd hop $hop src $src sampled ${rs.size}")
+    }
+    // hop-1 srcs are exactly the seeds; hop-2 srcs are sampled hop-1 dsts
+    got.filter(_._2 == 1).foreach { case (sd, _, src, _) => assert(src == sd) }
+    val h1 = got.filter(_._2 == 1).groupBy(_._1)
+    got.filter(_._2 == 2).foreach { case (sd, _, src, _) =>
+      assert(h1(sd).exists(_._4 == src),
+        s"hop-2 src $src of seed $sd was never sampled at hop 1")
+    }
+    val again = runSample(g, seeds, fanouts, 64, graft.functions.Hash64.Xx)
+    assert(got == again)
+  }
+
   // ---- HyperBall neighborhood sketches ----
 
   /** Plain-Scala HyperBall: same portable hash, same register init

@@ -219,6 +219,25 @@ class PlanShapeSpec extends GraftSuite {
       s"IVF list-cap pushdown missing:\n$plan")
   }
 
+  test("neighbor sampling: every top-k gets the rank-limit pushdown") {
+    import spark.implicits._
+    val edges = (0L until 400L)
+      .map(i => graft.Edge(i % 40, (i * 7 + 1) % 40, 1.0))
+      .toDS()
+    val seeds = Seq(0L, 20L).toDF("vid")
+    val plan = graft.algos.NeighborSample
+      .run(edges, seeds, fanouts = Seq(4, 2), maxNbrs = 16)
+      .queryExecution.executedPlan.toString
+    // three windowed top-ks (adjacency cap + one per hop; the shared
+    // adjacency subplan may dedupe) — ALL must be WindowGroupLimit-pushed
+    // so hubs and hot seeds pre-trim map-side, and no plain Window
+    // operator (unbounded per-partition buffering) may survive
+    val limits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(limits >= 2, s"rank-limit pushdown missing:\n$plan")
+    assert(!plan.contains("Window ") || plan.contains("WindowGroupLimit"),
+      s"unexpected unbounded Window:\n$plan")
+  }
+
   test("orderBy+limit fuses to TakeOrderedAndProject (no full sort)") {
     val df = spark.range(1000).toDF("v")
       .orderBy(col("v").desc).limit(5)
