@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Coloring, Eigen, HyperBall, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, NeighborSample, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
+import graft.algos.{Bfs, Coloring, Eigen, Hits, HyperBall, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, NeighborSample, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Corpus, Dedup, Multimodal, Relational, Similarity}
 
@@ -325,6 +325,23 @@ object SparkEntry {
           round(col("score") * 1e7, 0).cast("long").as("score_e7"),
         )
         .orderBy(col("score_e7").desc, col("vid"))
+        .limit(20)
+    },
+    // HITS hubs/authorities: 8 L1-normalized rounds over the DIRECTED
+    // canonical (src < dst) edge orientation — hub and authority are
+    // distinct roles only on a directed graph (symmetrized HITS collapses
+    // into eigenvector centrality, covered by q_eigen_top20); same
+    // divide-inside-the-scatter + e7 quantization contract as the rank
+    // queries (see Hits' Scaladoc)
+    "q_hits_top20" -> { (s, d) =>
+      Hits.run(partEdgeDs(s, d), iterations = 8)
+        .scores
+        .select(
+          col("vid"),
+          round(col("hub") * 1e7, 0).cast("long").as("hub_e7"),
+          round(col("auth") * 1e7, 0).cast("long").as("auth_e7"),
+        )
+        .orderBy(col("hub_e7").desc, col("auth_e7").desc, col("vid"))
         .limit(20)
     },
     // link prediction: resource-allocation index over non-adjacent pairs
@@ -1574,6 +1591,46 @@ object SparkEntry {
            |    AS score_e7
            |FROM x8
            |ORDER BY CAST(round(score / (SELECT sum(score) FROM x8) * 1e7) AS BIGINT) DESC, vid
+           |LIMIT 20""".stripMargin
+      },
+      // HITS hubs/authorities — 8 unrolled rounds over the DIRECTED
+      // canonical src<dst orientation (no symmetrization); each half-step
+      // normalizer divides INSIDE the scatter term (sum(score/T)),
+      // mirroring Hits.run's uniform-weight (1.0·x)/T == x/T contract;
+      // a_0 = 1.0 everywhere so Ta_0 = n exactly on both engines
+      "q_hits_top20" -> {
+        def hitsRound(i: Int): String = {
+          val pa = s"a${i - 1}"
+          s"""h$i AS MATERIALIZED (
+             |  SELECT v.vid, coalesce(m.s, 0) AS score
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.src AS vid,
+             |      sum(a.score / (SELECT sum(score) FROM $pa)) AS s
+             |    FROM e JOIN $pa a ON e.dst = a.vid GROUP BY 1
+             |  ) m ON v.vid = m.vid),
+             |a$i AS MATERIALIZED (
+             |  SELECT v.vid, coalesce(m.s, 0) AS score
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.dst AS vid,
+             |      sum(h.score / (SELECT sum(score) FROM h$i)) AS s
+             |    FROM e JOIN h$i h ON e.src = h.vid GROUP BY 1
+             |  ) m ON v.vid = m.vid)""".stripMargin
+        }
+        val chain = (1 to 8).map(hitsRound).mkString(",\n")
+        s"""WITH $edgesCte,
+           |verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+           |a0 AS MATERIALIZED (SELECT vid, 1.0 AS score FROM verts),
+           |$chain
+           |SELECT h8.vid,
+           |  CAST(round(h8.score / (SELECT sum(score) FROM h8) * 1e7) AS BIGINT)
+           |    AS hub_e7,
+           |  CAST(round(a8.score / (SELECT sum(score) FROM a8) * 1e7) AS BIGINT)
+           |    AS auth_e7
+           |FROM h8 JOIN a8 USING (vid)
+           |ORDER BY
+           |  CAST(round(h8.score / (SELECT sum(score) FROM h8) * 1e7) AS BIGINT) DESC,
+           |  CAST(round(a8.score / (SELECT sum(score) FROM a8) * 1e7) AS BIGINT) DESC,
+           |  h8.vid
            |LIMIT 20""".stripMargin
       },
       // resource-allocation link prediction: wedges through centers with

@@ -1,6 +1,6 @@
 package graft
 
-import graft.algos.{Eigen, LabelProp, LinkPred, Modularity}
+import graft.algos.{Eigen, Hits, LabelProp, LinkPred, Modularity}
 import graft.oracle.Oracles
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,95 @@ class GraphExtrasSpec extends GraftSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
     assert(got(0L) > got(1L) * 10)
     assert(r.iterations == 7 && r.edgeCount == 100) // 50 edges symmetrized
+  }
+
+  // ---- HITS hubs and authorities ----
+
+  /** Plain-Scala mirror of Hits.run: fixed-k mutual reinforcement over the
+    * DIRECTED edge multiset (Csr.build does not dedupe — a duplicated
+    * (src,dst) pair scatters twice, and the oracle must too), normalizer
+    * divided inside each scatter term, a_0 = 1 everywhere.
+    */
+  private def hitsOracle(
+      g: Seq[(Long, Long, Double)],
+      iters: Int,
+  ): Map[Long, (Double, Double)] = {
+    val edges = g.map { case (a, b, _) => (a, b) } // directed multiset
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1)
+    val in = edges.groupBy(_._2)
+    var auth = verts.map(_ -> 1.0).toMap
+    var aTot = verts.size.toDouble
+    var hub = Map.empty[Long, Double]
+    var hTot = 0.0
+    (1 to iters).foreach { _ =>
+      hub = verts.map { v =>
+        v -> out.getOrElse(v, Nil).map(e => auth(e._2) / aTot).sum
+      }.toMap
+      hTot = hub.values.sum
+      auth = verts.map { v =>
+        v -> in.getOrElse(v, Nil).map(e => hub(e._1) / hTot).sum
+      }.toMap
+      aTot = auth.values.sum
+    }
+    verts.map(v => v -> (hub(v) / hTot, auth(v) / aTot)).toMap
+  }
+
+  private def runHits(
+      g: Seq[(Long, Long, Double)],
+      iters: Int,
+  ): Map[Long, (Double, Double)] =
+    Hits.run(edgeDs(g), iters).scores.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+
+  private def hitsClose(
+      got: Map[Long, (Double, Double)],
+      want: Map[Long, (Double, Double)],
+      tag: String,
+  ): Unit = {
+    assert(got.keySet == want.keySet, s"$tag vertex sets")
+    want.foreach { case (v, (h, a)) =>
+      val (gh, ga) = got(v)
+      assert(math.abs(gh - h) <= 1e-9 + 1e-6 * math.abs(h),
+        s"$tag vid $v hub: got $gh want $h")
+      assert(math.abs(ga - a) <= 1e-9 + 1e-6 * math.abs(a),
+        s"$tag vid $v auth: got $ga want $a")
+    }
+  }
+
+  test("hits matches the plain-Scala oracle on fixtures") {
+    Seq(Fixtures.path5, Fixtures.star, Fixtures.twoCliquesBridge,
+      Fixtures.danglers).foreach { g =>
+      hitsClose(runHits(g, 8), hitsOracle(g, 8), s"g=${g.take(2)}")
+    }
+  }
+
+  test("hits matches the plain-Scala oracle on seeded random graphs") {
+    Seq(11L, 37L, 71L).foreach { seed =>
+      val g = seededRandomGraph(seed, 30, 90)
+      hitsClose(runHits(g, 8), hitsOracle(g, 8), s"seed $seed")
+    }
+  }
+
+  test("hits: directed star separates hubs from authorities exactly") {
+    // star is spoke->hub: every spoke is a pure hub (1/50 each after L1),
+    // vertex 0 the sole authority — the roles HITS exists to distinguish
+    val got = runHits(Fixtures.star, 8)
+    assert(got(0L)._1 == 0.0)
+    assert(math.abs(got(0L)._2 - 1.0) < 1e-12)
+    (1L to 50L).foreach { i =>
+      assert(math.abs(got(i)._1 - 1.0 / 50) < 1e-12, s"spoke $i hub")
+      assert(got(i)._2 == 0.0, s"spoke $i auth")
+    }
+    // both output vectors are L1-normalized
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("hits: empty input returns an empty frame") {
+    val r = Hits.run(edgeDs(Seq.empty), 8)
+    assert(r.scores.count() == 0 && r.edgeCount == 0L)
   }
 
   // ---- resource-allocation link prediction ----
