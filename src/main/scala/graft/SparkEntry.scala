@@ -271,6 +271,15 @@ object SparkEntry {
     "q_neighborhood" -> { (s, d) =>
       HyperBall.neighborhoodOf(hbChain(s, d))
     },
+    // closeness / Lin's-index ingredients from the same HyperBall chain:
+    // the T-truncated sum of distances telescoped to exact integer
+    // coefficients over the per-round ball estimates (4·e4 − e0 − e1 −
+    // e2 − e3) — with q_harmonic this completes Boldi & Vigna 2013 §4's
+    // geometric-centrality family; the float centralities (1/Σd, r²/Σd)
+    // are caller-side divisions off this exact-integer surface
+    "q_closeness" -> { (s, d) =>
+      HyperBall.closenessOf(hbChain(s, d))
+    },
     // deterministic random-walk corpus (DeepWalk input): 4 hash-indexed
     // steps per vid%20==0 seed over the weight>=2 subgraph; the pluggable
     // sketch hash makes every step replayable in the DuckDB oracle
@@ -1371,6 +1380,28 @@ object SparkEntry {
            |SELECT e0.vid, e4.est AS ball_e7,
            |  (-12)*e0.est + 6*e1.est + 2*e2.est + 1*e3.est + 3*e4.est
            |    AS hc12_e7
+           |FROM est0 e0 JOIN est1 e1 ON e0.vid = e1.vid
+           |JOIN est2 e2 ON e0.vid = e2.vid
+           |JOIN est3 e3 ON e0.vid = e3.vid
+           |JOIN est4 e4 ON e0.vid = e4.vid""".stripMargin
+      },
+      // closeness ingredients — the same register chain, the telescoped
+      // sum-of-distances 4·e4 − e0 − e1 − e2 − e3 (c_T = T, c_t = −1);
+      // every est is the q_hyperball BIGINT, so sumdist_e7 is exact
+      "q_closeness" -> {
+        def estCte(t: Int): String =
+          s"""est$t AS (SELECT vid,
+             |  CAST(round(0.673 * 73786976294838206464.0
+             |    / CAST(sp + (16 - present) * (CAST(1 AS BIGINT) << 58) AS DOUBLE)
+             |    * 1e7) AS BIGINT) AS est
+             |  FROM (SELECT vid, count(*) AS present,
+             |    CAST(sum((CAST(1 AS BIGINT) << (58 - val))) AS BIGINT) AS sp
+             |    FROM r$t GROUP BY vid))""".stripMargin
+        val ests = (0 to 4).map(estCte).mkString(",\n")
+        s"""WITH $hyperballChainCtes,
+           |$ests
+           |SELECT e0.vid, e4.est AS ball_e7,
+           |  4*e4.est - e0.est - e1.est - e2.est - e3.est AS sumdist_e7
            |FROM est0 e0 JOIN est1 e1 ON e0.vid = e1.vid
            |JOIN est2 e2 ON e0.vid = e2.vid
            |JOIN est3 e3 ON e0.vid = e3.vid

@@ -243,6 +243,50 @@ object HyperBall {
     HarmonicResult(centralities, rounds, l)
   }
 
+  /** Closeness / Lin's-index ingredients from an existing chain — the
+    * remaining geometric centralities of Boldi & Vigna 2013 §4 next to
+    * [[harmonicOf]]: closeness(v) = 1/Σ_u d(v,u) and Lin's index
+    * r(v)²/Σ d(v,u), both defined by the same T-truncated
+    * sum-of-distances
+    *
+    *   Σd(v) = Σ_{t=1..T} t · (|B(v,t)| − |B(v,t−1)|)
+    *         = T·|B(v,T)| − Σ_{t=0..T−1} |B(v,t)|
+    *
+    * which telescopes to INTEGER coefficients over the per-round BIGINT
+    * estimates (c_T = T, c_t = −1 otherwise) — so sumdist_e7 is exact
+    * cross-engine by commutative BIGINT adds, like hc_scaled. The output
+    * stays on the integer surface (vid, ball_e7, sumdist_e7); the float
+    * centralities derive as 1e7/sumdist_e7·1e7 (closeness) and
+    * ball_e7²/(1e7·sumdist_e7) (Lin) — divisions the CALLER performs, so
+    * no engine-internal float ordering crosses the contract. Registers
+    * only grow, so est_e7 is non-decreasing per round and sumdist_e7 is
+    * always ≥ 0 (spec-pinned). Cost: one |V|-row aggregate over the
+    * already-cut frames — no new supersteps.
+    */
+  def closeness(
+      edges: Dataset[Edge],
+      rounds: Int,
+      hash: Hash64 = Hash64.Xx,
+  ): DataFrame = closenessOf(chain(edges, rounds, hash))
+
+  def closenessOf(c: HyperBallChain): DataFrame = {
+    val rounds = c.rounds
+    def coef(t: Int): Long = if (t == rounds) rounds.toLong else -1L
+    c.perRound.zipWithIndex.map { case (f, t) =>
+      f.select(
+        col("vid"),
+        col("est_e7"),
+        lit(coef(t)).as("c"),
+        lit(t).as("t"),
+      )
+    }.reduce(_ unionByName _)
+      .groupBy("vid")
+      .agg(
+        max(when(col("t") === rounds, col("est_e7"))).as("ball_e7"),
+        sum(col("est_e7") * col("c")).as("sumdist_e7"),
+      )
+  }
+
   /** Approximate NEIGHBORHOOD FUNCTION and effective diameter — the
     * other headline HyperBall application (Boldi & Vigna 2013, §5;
     * Palmer et al.'s ANF): N(t) = Σ_v |B(v,t)| estimated per round, and

@@ -625,6 +625,29 @@ class GraphExtrasSpec extends GraftSuite {
     }
   }
 
+  test("closeness sum-of-distances matches the telescoped plain-Scala oracle") {
+    def est(s: Long): Long = math.round(
+      0.673 * ((1L << 58).toDouble * 256.0) / s.toDouble * 1e7)
+    Seq(67L, 101L).foreach { seed =>
+      val g = seededRandomGraph(seed, 30, 80)
+      val got = graft.algos.HyperBall
+        .closeness(edgeDs(g), rounds = 3, graft.functions.Hash64.Portable)
+        .collect()
+        .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2)))
+        .toMap
+      val perRound = hyperballRegsPerRound(g, 3)
+      // telescoped t weights for T=3: Σ t·Δest = 3·e3 − e0 − e1 − e2
+      val coefs = Seq(-1L, -1L, -1L, 3L)
+      val want = perRound.last.keySet.map { v =>
+        val ests = perRound.map(m => est(sScaled(m(v))))
+        v -> (ests.last, ests.zip(coefs).map { case (e, c) => e * c }.sum)
+      }.toMap
+      assert(got == want, s"seed $seed")
+      // registers only grow => ball estimates are monotone => Σd >= 0
+      got.values.foreach { case (_, sd) => assert(sd >= 0L) }
+    }
+  }
+
   test("neighborhood function matches the plain-Scala sums and the 90% test") {
     def est(s: Long): Long = math.round(
       0.673 * ((1L << 58).toDouble * 256.0) / s.toDouble * 1e7)
