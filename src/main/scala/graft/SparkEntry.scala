@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Coloring, Eigen, Hits, HyperBall, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, NeighborSample, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
+import graft.algos.{Bfs, Coloring, Eigen, Hits, HyperBall, Katz, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, NeighborSample, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Corpus, Dedup, Multimodal, Relational, Similarity}
 
@@ -336,6 +336,14 @@ object SparkEntry {
         .orderBy(col("score_e7").desc, col("vid"))
         .limit(20)
     },
+    // Katz centrality, T=4 truncation, attenuation 1/8: walk counts are
+    // exact BIGINTs and the 8^(T−t)-weighted sum accumulates in Horner
+    // form, so the whole output is on the exact integer surface — no
+    // quantization at all (see Katz's Scaladoc); the float centrality is
+    // katz_scaled/8^T, a caller-side division
+    "q_katz" -> { (s, d) =>
+      Katz.run(partEdgeDs(s, d), rounds = 4).scores
+    },
     // HITS hubs/authorities: 8 L1-normalized rounds over the DIRECTED
     // canonical (src < dst) edge orientation — hub and authority are
     // distinct roles only on a directed graph (symmetrized HITS collapses
@@ -411,6 +419,35 @@ object SparkEntry {
             col("w2") > 0,
             round(lit(6.0) * tri / col("w2") * 1e7, 0).cast("long"),
           ).as("cc_e7"),
+        )
+    },
+    // composed analytics: per-vertex LOCAL clustering coefficient
+    // (Watts & Strogatz 1998) — the per-vertex complement of
+    // q_clustering's global transitivity: lcc(v) = 2·tri(v) /
+    // (deg(v)·(deg(v)−1)) over the simple undirected graph. tri and deg
+    // stay exact BIGINTs; the one division is e7-quantized with the
+    // identical operand order on both engines (the q_clustering
+    // contract). deg<=1 vertices have undefined lcc -> NULL
+    "q_lcc" -> { (s, d) =>
+      import s.implicits._
+      val e = Superstep.cut(partEdgeDs(s, d).toDF())
+      val tri = Triangles.run(e.as[Edge]).perVertex
+      val deg = e.select(col("src").as("vid"))
+        .unionByName(e.select(col("dst").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("deg"))
+      tri.join(deg, "vid")
+        .select(
+          col("vid"),
+          col("triangles"),
+          col("deg"),
+          when(
+            col("deg") > 1,
+            round(
+              lit(2.0) * col("triangles")
+                / (col("deg") * (col("deg") - 1L)) * 1e7,
+              0,
+            ).cast("long"),
+          ).as("lcc_e7"),
         )
     },
     // composed analytics: degree assortativity (Newman 2002) — Pearson
@@ -1624,6 +1661,30 @@ object SparkEntry {
            |ORDER BY CAST(round(score / (SELECT sum(score) FROM x8) * 1e7) AS BIGINT) DESC, vid
            |LIMIT 20""".stripMargin
       },
+      // Katz centrality — 4 unrolled walk-count rounds over the
+      // symmetrized graph; every value is an exact BIGINT (walk counts +
+      // the Horner-accumulated 8^(T−t) weighting), so the compare needs
+      // no quantization
+      "q_katz" -> {
+        def katzIter(i: Int): String =
+          s"""x$i AS MATERIALIZED (
+             |  SELECT v.vid, coalesce(m.w, 0) AS walks,
+             |    p.acc * 8 + coalesce(m.w, 0) AS acc
+             |  FROM verts v JOIN x${i - 1} p ON v.vid = p.vid
+             |  LEFT JOIN (
+             |    SELECT s.dst AS vid, CAST(sum(r.walks) AS BIGINT) AS w
+             |    FROM sym s JOIN x${i - 1} r ON s.src = r.vid GROUP BY 1
+             |  ) m ON v.vid = m.vid)""".stripMargin
+        val chain = (1 to 4).map(katzIter).mkString(",\n")
+        s"""WITH $edgesCte,
+           |sym AS MATERIALIZED (SELECT src, dst FROM e
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e),
+           |verts AS (SELECT DISTINCT src AS vid FROM sym),
+           |x0 AS MATERIALIZED (SELECT vid, CAST(1 AS BIGINT) AS walks,
+           |        CAST(0 AS BIGINT) AS acc FROM verts),
+           |$chain
+           |SELECT vid, walks, acc AS katz_scaled FROM x4""".stripMargin
+      },
       // HITS hubs/authorities — 8 unrolled rounds over the DIRECTED
       // canonical src<dst orientation (no symmetrization); each half-step
       // normalizer divides INSIDE the scatter term (sum(score/T)),
@@ -1912,6 +1973,28 @@ object SparkEntry {
            |  SELECT c FROM tri) GROUP BY 1)
            |SELECT v.vid, COALESCE(cnts.c, 0) AS triangles
            |FROM verts v LEFT JOIN cnts ON v.vid = cnts.vid""".stripMargin,
+      // local clustering coefficient — the q_tri_pervertex chain plus the
+      // degree table; the one division mirrors the Spark expression
+      // token-for-token (2.0·tri first, then the integer wedge product)
+      "q_lcc" ->
+        s"""WITH $edgesCte,
+           |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+           |        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+           |        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+           |verts AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),
+           |cnts AS (SELECT vid, count(*) AS c FROM (
+           |  SELECT a AS vid FROM tri UNION ALL
+           |  SELECT b FROM tri UNION ALL
+           |  SELECT c FROM tri) GROUP BY 1),
+           |deg AS (SELECT vid, count(*) AS deg FROM (
+           |  SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) GROUP BY 1)
+           |SELECT v.vid, COALESCE(cnts.c, 0) AS triangles, deg.deg,
+           |  CASE WHEN deg.deg > 1 THEN
+           |    CAST(round(2.0 * COALESCE(cnts.c, 0)
+           |      / (deg.deg * (deg.deg - 1)) * 1e7) AS BIGINT)
+           |  END AS lcc_e7
+           |FROM verts v LEFT JOIN cnts ON v.vid = cnts.vid
+           |JOIN deg ON v.vid = deg.vid""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -648,6 +648,40 @@ class GraphExtrasSpec extends GraftSuite {
     }
   }
 
+  test("katz walk counts and Horner-scaled scores match the plain-Scala oracle") {
+    Seq(41L, 97L).foreach { seed =>
+      val g = seededRandomGraph(seed, 30, 80)
+      val got = graft.algos.Katz.run(edgeDs(g), rounds = 4)
+        .scores.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // the engine symmetrizes and ignores weights (WeightMode.One):
+      // the oracle's adjacency is the distinct directed pair set
+      val dirs = g.flatMap { case (a, b, _) => Seq(a -> b, b -> a) }.distinct
+      val adj = dirs.groupMap(_._1)(_._2)
+      val verts = adj.keySet
+      var walks = verts.map(_ -> 1L).toMap
+      var acc = verts.map(_ -> 0L).toMap
+      for (_ <- 1 to 4) {
+        val next = verts.map(v => v -> adj(v).map(walks).sum).toMap
+        acc = verts.map(v => v -> (acc(v) * 8L + next(v))).toMap
+        walks = next
+      }
+      assert(got == verts.map(v => v -> (walks(v), acc(v))).toMap, s"seed $seed")
+    }
+  }
+
+  test("katz on a star: closed-form walk counts and scaled scores") {
+    // center 0 with 5 leaves: walks alternate center<->leaves —
+    // walks(c) = 5, 5, 25, 25; walks(leaf) = 1, 5, 5, 25;
+    // Horner acc(c) = ((5·8+5)·8+25)·8+25 = 3105, acc(leaf) = 897
+    val star = (1L to 5L).map(l => (0L, l, 1.0))
+    val got = graft.algos.Katz.run(edgeDs(star), rounds = 4)
+      .scores.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((25L, 3105L)))
+    (1L to 5L).foreach(l => assert(got(l) == ((25L, 897L))))
+  }
+
   test("neighborhood function matches the plain-Scala sums and the 90% test") {
     def est(s: Long): Long = math.round(
       0.673 * ((1L << 58).toDouble * 256.0) / s.toDouble * 1e7)
