@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Coloring, Eigen, Hits, HyperBall, Katz, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, NeighborSample, PageRank, Ppr, Sssp, Triangles, Walks, Wcc}
+import graft.algos.{Bfs, Coloring, Eigen, Hits, HyperBall, Katz, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, NeighborSample, PageRank, Ppr, Sssp, Stress, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Corpus, Dedup, Multimodal, Relational, Similarity}
 
@@ -201,6 +201,18 @@ object SparkEntry {
         .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
       val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
       Bfs.run(edges, seeds).dists
+    },
+    // sampled stress centrality (Shimbel 1953) over the same weight>=2
+    // subgraph, seeds vid%20==0, T=4 truncation: # shortest paths of
+    // length <=4 from a seed through each interior vertex — betweenness'
+    // integer-valued sibling; forward sigma + backward gamma sweeps are
+    // both exact BIGINT (see Stress's Scaladoc), so no quantization
+    "q_stress" -> { (s, d) =>
+      import s.implicits._
+      val edges = Superstep
+        .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
+      val seeds = Superstep.vertices(edges).where(col("vid") % 20 === 0)
+      Stress.run(edges, seeds, rounds = 4).scores
     },
     // weighted shortest path (delta Bellman-Ford) from the same seed set
     // over the same weight>=2 subgraph: min total co-occurrence weight.
@@ -1886,6 +1898,53 @@ object SparkEntry {
            |  FROM verts),
            |$chain
            |SELECT vid, dist FROM d16 WHERE dist IS NOT NULL""".stripMargin
+      },
+      // sampled stress centrality — 4 unrolled forward BFS/sigma rounds
+      // + 4 unrolled backward gamma rounds over the weight>=2 subgraph;
+      // all integers (sigma = shortest-path counts, gamma = downhill
+      // tail counts), stress = sum(sigma*gamma) over non-seed pairs
+      "q_stress" -> {
+        def fwd(i: Int): String =
+          s"""f$i AS MATERIALIZED (
+             |  SELECT seed, vid, dist, sigma FROM f${i - 1}
+             |  UNION ALL
+             |  SELECT m.seed, m.vid, $i AS dist, m.sigma FROM (
+             |    SELECT p.seed, s.dst AS vid,
+             |      CAST(sum(p.sigma) AS BIGINT) AS sigma
+             |    FROM sym s JOIN f${i - 1} p
+             |      ON s.src = p.vid AND p.dist = ${i - 1}
+             |    GROUP BY 1, 2) m
+             |  WHERE NOT EXISTS (SELECT 1 FROM f${i - 1} x
+             |    WHERE x.seed = m.seed AND x.vid = m.vid))""".stripMargin
+        def bwd(i: Int): String =
+          s"""g$i AS MATERIALIZED (
+             |  SELECT f.seed, f.vid, f.dist, f.sigma,
+             |    coalesce(m.g, 0) AS gamma
+             |  FROM (SELECT * FROM f4 WHERE dist = $i) f
+             |  LEFT JOIN (
+             |    SELECT w.seed, s.src AS vid,
+             |      CAST(sum(1 + w.gamma) AS BIGINT) AS g
+             |    FROM sym s JOIN g${i + 1} w ON s.dst = w.vid
+             |    GROUP BY 1, 2) m
+             |  ON f.seed = m.seed AND f.vid = m.vid)""".stripMargin
+        val fchain = (1 to 4).map(fwd).mkString(",\n")
+        val bchain = (3 to 0 by -1).map(bwd).mkString(",\n")
+        s"""WITH $edgesCte,
+           |e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE weight >= 2),
+           |sym AS MATERIALIZED (SELECT src, dst FROM e2
+           |        UNION ALL SELECT dst AS src, src AS dst FROM e2),
+           |verts AS (SELECT DISTINCT src AS vid FROM sym),
+           |f0 AS MATERIALIZED (SELECT vid AS seed, vid, 0 AS dist,
+           |        CAST(1 AS BIGINT) AS sigma FROM verts WHERE vid % 20 = 0),
+           |$fchain,
+           |g4 AS MATERIALIZED (SELECT seed, vid, dist, sigma,
+           |        CAST(0 AS BIGINT) AS gamma FROM f4 WHERE dist = 4),
+           |$bchain
+           |SELECT vid, CAST(sum(sigma * gamma) AS BIGINT) AS stress
+           |FROM (SELECT * FROM g0 UNION ALL SELECT * FROM g1 UNION ALL
+           |      SELECT * FROM g2 UNION ALL SELECT * FROM g3 UNION ALL
+           |      SELECT * FROM g4)
+           |WHERE vid <> seed GROUP BY vid""".stripMargin
       },
       // weighted SSSP — unrolled min-relaxation rounds over the weight-
       // merged symmetric graph (fixpoint-equivalent to the engine's delta

@@ -682,6 +682,65 @@ class GraphExtrasSpec extends GraftSuite {
     (1L to 5L).foreach(l => assert(got(l) == ((25L, 897L))))
   }
 
+  test("stress centrality matches the plain-Scala truncated oracle") {
+    import spark.implicits._
+    Seq(11L, 53L).foreach { rngSeed =>
+      val g = seededRandomGraph(rngSeed, 24, 60)
+      val dirs = g.flatMap { case (a, b, _) => Seq(a -> b, b -> a) }.distinct
+      val adj = dirs.groupMap(_._1)(_._2)
+      val verts = adj.keySet
+      val seedSet = verts.filter(_ % 4 == 0)
+      val T = 4
+      val got = graft.algos.Stress
+        .run(edgeDs(g), seedSet.toSeq.toDF("vid"), rounds = T)
+        .scores.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val acc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      val present = scala.collection.mutable.Set[Long]()
+      for (s <- seedSet) {
+        var dist = Map(s -> 0)
+        var sigma = Map(s -> 1L)
+        for (t <- 1 to T) {
+          val frontier = dist.filter(_._2 == t - 1).keys
+          val contrib =
+            scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+          for (u <- frontier; v <- adj(u) if !dist.contains(v))
+            contrib(v) += sigma(u)
+          dist = dist ++ contrib.keys.map(_ -> t)
+          sigma = sigma ++ contrib
+        }
+        var gamma = Map.empty[Long, Long]
+        for (t <- T to 0 by -1) {
+          val level = dist.collect { case (v, d) if d == t => v }
+          gamma =
+            if (t == T) gamma ++ level.map(_ -> 0L)
+            else gamma ++ level.map { v =>
+              v -> adj(v)
+                .filter(w => dist.get(w).contains(t + 1))
+                .map(w => 1L + gamma(w)).sum
+            }
+        }
+        for ((v, _) <- dist if v != s) {
+          acc(v) += sigma(v) * gamma(v)
+          present += v
+        }
+      }
+      val want = present.toSeq.map(v => v -> acc(v)).toMap
+      assert(got == want, s"rngSeed $rngSeed")
+    }
+  }
+
+  test("stress on a path: closed-form interior counts") {
+    import spark.implicits._
+    // path 0-1-2-3-4, seeds {0, 4}, T=4: each seed sees the whole path;
+    // interior vertices carry 4 shortest paths each, endpoints 0
+    val path = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+    val got = graft.algos.Stress
+      .run(edgeDs(path), Seq(0L, 4L).toDF("vid"), rounds = 4)
+      .scores.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 0L))
+  }
+
   test("neighborhood function matches the plain-Scala sums and the 90% test") {
     def est(s: Long): Long = math.round(
       0.673 * ((1L << 58).toDouble * 256.0) / s.toDouble * 1e7)
