@@ -58,5 +58,48 @@ object MemBandwidth {
       }
       println(s"""{"bench":"membw","threads":$t,"gb":$totalGb,"gbps":$best}""")
     }
+
+    // DEPENDENT-LOAD latency probe (pointer chase over a shuffled cycle,
+    // Sattolo's algorithm — one single-cycle permutation, so every load
+    // depends on the previous one and the prefetcher gets nothing).
+    // Rationale: tracing GC is latency-bound dependent pointer chasing,
+    // not prefetchable streaming — round-5 host phases showed QUIET
+    // streaming curves while Spark legs GC-stalled 6x, so this is the
+    // probe that can actually see the phase the gate rejects.
+    val chaseWords = 1 << 26 // 512 MiB, far beyond LLC
+    val perm = new Array[Int](chaseWords)
+    var i2 = 0
+    while (i2 < chaseWords) { perm(i2) = i2; i2 += 1 }
+    val rnd = new java.util.Random(20260819L)
+    var k = chaseWords - 1
+    while (k > 0) { // Sattolo: single cycle
+      val j = rnd.nextInt(k)
+      val tmp = perm(k); perm(k) = perm(j); perm(j) = tmp
+      k -= 1
+    }
+    def chase(steps: Int): Double = {
+      var p = 0
+      var n = 0
+      val t0 = System.nanoTime()
+      while (n < steps) { p = perm(p); n += 1 }
+      if (p == -1) println("")
+      (System.nanoTime() - t0).toDouble / steps
+    }
+    chase(1 << 22) // warmup
+    for (t <- Seq(1, 8)) {
+      var best = Double.MaxValue
+      for (_ <- 1 to reps) {
+        val results = new Array[Double](t)
+        val threads = (0 until t).map { ti =>
+          val th = new Thread(() => results(ti) = chase(1 << 24))
+          th.start(); th
+        }
+        threads.foreach(_.join())
+        val avg = results.sum / t
+        if (avg < best) best = avg
+      }
+      println(
+        s"""{"bench":"memlat","threads":$t,"ns_per_load":${math.round(best * 10) / 10.0}}""")
+    }
   }
 }
