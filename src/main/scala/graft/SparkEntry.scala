@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.algos.{Bfs, Coloring, Eigen, Hits, HyperBall, Katz, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, NeighborSample, PageRank, Ppr, Sssp, Stress, Triangles, Walks, Wcc}
+import graft.algos.{Bfs, Coloring, Eigen, Hits, HyperBall, Katz, KCore, KTruss, LabelProp, LinkPred, Louvain, Mis, Modularity, NeighborSample, PageRank, Ppr, Scc, Sssp, Stress, Triangles, Walks, Wcc}
 import graft.functions.{Hash64, Text}
 import graft.operators.{Corpus, Dedup, Multimodal, Relational, Similarity}
 
@@ -372,6 +372,28 @@ object SparkEntry {
         )
         .orderBy(col("hub_e7").desc, col("auth_e7").desc, col("vid"))
         .limit(20)
+    },
+    // strongly-connected components of the hash-oriented co-occurrence
+    // subgraph (both endpoints vid % 8 == 0): each canonical src<dst edge
+    // is directed by the parity of the 64-bit sketch hash of "src,dst" —
+    // deterministic, mirrored bit-identically in DuckDB under the
+    // portable mode, and (unlike the canonical orientation itself, a DAG
+    // by construction) it produces genuine cycles and a giant SCC plus
+    // tendrils, the bow-tie shape SCC exists for. scc = min mutually-
+    // reachable vid: a pure order-free property over exact integers, so
+    // the oracle is DECLARATIVE (recursive-CTE mutual reachability) and
+    // no round-count slack contract is needed (see Scc's Scaladoc)
+    "q_scc" -> { (s, d) =>
+      import s.implicits._
+      val e8 = partEdgeDs(s, d)
+        .where(col("src") % 8 === 0 && col("dst") % 8 === 0)
+      val even = sketchHash.pair(col("src"), col("dst")) % 2 === 0
+      val oriented = e8.select(
+        when(even, col("src")).otherwise(col("dst")).as("src"),
+        when(even, col("dst")).otherwise(col("src")).as("dst"),
+        lit(1.0).as("weight"),
+      ).as[Edge]
+      Scc.run(oriented).comps
     },
     // link prediction: resource-allocation index over non-adjacent pairs
     // (1.0/deg is a correctly-rounded IEEE division both engines produce
@@ -1736,6 +1758,35 @@ object SparkEntry {
            |  CAST(round(a8.score / (SELECT sum(score) FROM a8) * 1e7) AS BIGINT) DESC,
            |  h8.vid
            |LIMIT 20""".stripMargin
+      },
+      // strongly-connected components — DECLARATIVE oracle: orient each
+      // canonical src<dst edge of the vid%8 induced subgraph by the
+      // parity of the portable pair hash (mirroring sketchHash.pair in
+      // the query), close reachability with a recursive CTE (DuckDB's
+      // recursive UNION iterates on new rows only, so total work is
+      // |closure| x avg-degree, not quadratic), and define
+      // scc = min mutually-reachable vid. Order-free exact integers:
+      // no round-count coupling with the engine's trim+FW-BW peeling.
+      "q_scc" -> {
+        val pair = ph("src || ',' || dst")
+        s"""WITH RECURSIVE $edgesCte,
+           |e8 AS MATERIALIZED (SELECT src, dst FROM e
+           |      WHERE src % 8 = 0 AND dst % 8 = 0),
+           |de AS MATERIALIZED (
+           |  SELECT CASE WHEN ($pair) % 2 = 0 THEN src ELSE dst END AS src,
+           |         CASE WHEN ($pair) % 2 = 0 THEN dst ELSE src END AS dst
+           |  FROM e8),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM de
+           |  UNION
+           |  SELECT r.src, n.dst FROM reach r JOIN de n ON r.dst = n.src),
+           |verts AS (SELECT src AS vid FROM de UNION SELECT dst FROM de),
+           |mut AS (SELECT a.src AS vid, a.dst AS u
+           |        FROM reach a JOIN reach b
+           |          ON b.src = a.dst AND b.dst = a.src)
+           |SELECT v.vid, least(v.vid, coalesce(min(m.u), v.vid)) AS scc
+           |FROM verts v LEFT JOIN mut m ON v.vid = m.vid
+           |GROUP BY v.vid""".stripMargin
       },
       // resource-allocation link prediction: wedges through centers with
       // deg <= 64 (the hub cap, mirrored from LinkPred's maxDeg), scored

@@ -1,0 +1,217 @@
+package graft.algos
+
+import graft._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+final case class SccResult(
+    comps: DataFrame, // (vid, scc) — scc = min vid of the strongly-connected component
+    peels: Int, // outer trim+FB rounds
+    trimRounds: Int, // total trim sweeps across all peels
+    propRounds: Int, // total min-label propagation rounds (both directions)
+)
+
+/** Strongly-connected components of a DIRECTED graph (B family — the
+  * directed sibling of [[Wcc]]; on a link graph SCCs are the mutually-
+  * reachable cores the bow-tie web structure is defined by, Broder et al.
+  * 2000, "Graph structure in the web", WWW9).
+  *
+  * scc(v) = min{u : u ⇄ v} (mutual reachability, v included) — a pure
+  * order-free graph property over exact integers, so the driver oracle can
+  * state it DECLARATIVELY (DuckDB recursive-CTE mutual reachability) while
+  * the engine computes it iteratively; no round-count coupling between the
+  * two, unlike the fixed-k oracles (q_hits, q_eigen).
+  *
+  * Algorithm: trim + forward-backward min-label peeling — the FW-BW-Trim
+  * family (Fleischer, Hendrickson & Pınar 2000, "On identifying strongly
+  * connected components in parallel", IPDPS; McLendon et al. 2005), with
+  * min-label propagation playing the multi-pivot role of Orzan-style
+  * coloring (Orzan 2004; Hong, Rodia & Olukotun 2013 use the same
+  * trim+FW-BW skeleton). Per peel:
+  *
+  *   1. TRIM to fixpoint: a vertex with in-degree 0 or out-degree 0 in
+  *      the active graph cannot sit in a cycle there, and the active
+  *      graph always contains every undecided SCC whole (only whole SCCs
+  *      and singletons are ever removed), so such vertices are singleton
+  *      SCCs — assigned scc = vid and removed. This is what collapses
+  *      chain/tendril remainders that pure peeling would need O(length)
+  *      peels for.
+  *   2. FORWARD pass: fwd(v) = min id that REACHES v — min-label
+  *      propagation along edge direction to fixpoint (the [[Wcc]] loop
+  *      shape on the directed CSR: one exchange-free `adj ⋈ state` join +
+  *      ONE message shuffle per round, lineage cut + convergence count
+  *      fused via [[Superstep.cutAndAgg]]).
+  *   3. BACKWARD pass: bwd(v) = min id v REACHES — the same loop on the
+  *      reversed CSR.
+  *   4. DECIDE: fwd(v) == bwd(v) == m means m → v and v → m, i.e.
+  *      v ∈ SCC(m). Within one SCC both labels are constant (members
+  *      share reach sets), so decided vertices form WHOLE SCCs; they are
+  *      assigned and their edges dropped.
+  *
+  * Progress: after trim the active minimum m has fwd(m) = bwd(m) = m
+  * (labels are ≥ m everywhere and m is in both of its own reach sets), so
+  * every peel decides ≥ 1 vertex — termination in ≤ |V| peels, with the
+  * practical count measured in low single digits on the testdata graphs
+  * (random-orientation co-occurrence: one giant SCC + tendrils, decided
+  * in peel 1 + trim). `maxPeels` is a loud backstop: a non-converged run
+  * THROWS rather than returning a silently-partial assignment.
+  *
+  * Determinism: every label is an integer min — commutative, associative,
+  * idempotent — so the result is partition- and order-independent, the
+  * same exact-match contract as [[Wcc]]/[[Bfs]].
+  *
+  * 100 TB shape: trim is two anti-joins per sweep; each propagation round
+  * is the certified superstep exchange; decided-vertex removal is two
+  * anti-joins per peel. Work per peel is proportional to the ACTIVE
+  * subgraph (which shrinks by whole SCCs + tendrils), never to the full
+  * edge set after peel 1 — the property that makes FW-BW-Trim the
+  * standard parallel SCC skeleton.
+  */
+object Scc {
+
+  private val debug = sys.env.contains("GRAFT_DEBUG")
+
+  /** @param edges DIRECTED edges (src → dst); self-loops are ignored
+    *              (a self-loop never changes SCC membership). Vertex
+    *              universe = edge endpoints.
+    */
+  def run(
+      edges: Dataset[Edge],
+      maxPeels: Int = 64,
+      maxProp: Int = 256,
+  ): SccResult = Superstep.withAqeOff(edges.sparkSession) {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    var active: DataFrame = Superstep.cut(
+      edges.where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct())
+    // full vertex universe, fixed up front: removals can ORPHAN a vertex
+    // (all its edges vanish with removed neighbors before it is itself
+    // trimmed or decided — e.g. the midpoint of a chain whose two halves
+    // trim away in the same sweep); orphans are singleton SCCs and are
+    // assigned from this set at the end
+    val allVerts = Superstep.cut(
+      active.select(col("src").as("vid"))
+        .unionByName(active.select(col("dst").as("vid"))).distinct())
+    var assigned: DataFrame =
+      Seq.empty[(Long, Long)].toDF("vid", "scc")
+    var peels = 0
+    var trimRounds = 0
+    var propRounds = 0
+    var activeEdges = active.count()
+
+    /** min-label propagation to fixpoint over one directed adjacency:
+      * lab(v) ← min(lab(v), min over in-neighbors u of lab(u)).
+      */
+    def minLabel(adj: Dataset[AdjBlock], verts: DataFrame, nVerts: Long)
+        : DataFrame = {
+      // verts is already lineage-cut by the caller; the (vid, vid AS lab)
+      // projection goes AFTER that cut so hash(vid) partitioning survives
+      // into round 1's joins (see Wcc/LabelProp for the
+      // PartitioningCollection rationale)
+      var state: DataFrame = verts.select(col("vid"), col("vid").as("lab"))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxProp) {
+        val msgs = Superstep.scatter(adj, state)
+          .groupBy("vid").agg(min("lab").as("ml"))
+        val next = state.join(msgs, Seq("vid"), "left_outer")
+          .select(
+            col("vid"),
+            least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab"),
+            (coalesce(col("ml"), col("lab")) < col("lab")).as("chg"),
+          )
+        val (cut, r) = Superstep.cutAndAgg(
+          next, nVerts,
+          Seq(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L))))
+        state = cut.drop("chg")
+        changed = r.getLong(0)
+        rounds += 1
+      }
+      require(
+        changed == 0,
+        s"Scc: min-label propagation did not converge in $maxProp rounds")
+      propRounds += rounds
+      state
+    }
+
+    while (activeEdges > 0 && peels < maxPeels) {
+      peels += 1
+      // --- 1. trim to fixpoint: indeg-0 / outdeg-0 vertices are
+      // singleton SCCs of the active graph (see Scaladoc invariant)
+      var trimmed = 1L
+      while (trimmed > 0 && activeEdges > 0) {
+        val srcs = active.select(col("src").as("vid")).distinct()
+        val dsts = active.select(col("dst").as("vid")).distinct()
+        val noOut = dsts.join(srcs, Seq("vid"), "left_anti")
+        val noIn = srcs.join(dsts, Seq("vid"), "left_anti")
+        val t = Superstep.cut(noOut.unionByName(noIn).distinct())
+        trimmed = t.count()
+        if (trimmed > 0) {
+          trimRounds += 1
+          assigned = Superstep.cut(
+            assigned.unionByName(t.select(col("vid"), col("vid").as("scc"))))
+          active = Superstep.cut(
+            active
+              .join(t, active("src") === t("vid"), "left_anti")
+              .join(t, active("dst") === t("vid"), "left_anti"))
+          activeEdges = active.count()
+        }
+      }
+      if (activeEdges > 0) {
+        // --- 2+3. forward/backward min-label to fixpoint on the active
+        // subgraph. CSRs rebuilt per peel: the active set shrinks by
+        // whole SCCs each peel, and the build is one groupBy — cheaper
+        // than even a single propagation round over a stale larger graph.
+        val activeDs = active
+          .select(col("src"), col("dst"), lit(1.0).as("weight")).as[Edge]
+        val fwd = Csr.build(activeDs, p, Csr.WeightMode.One)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val rev = Csr.build(
+          active.select(
+            col("dst").as("src"), col("src").as("dst"),
+            lit(1.0).as("weight")).as[Edge],
+          p, Csr.WeightMode.One,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        val verts = Superstep.cut(
+          active.select(col("src").as("vid"))
+            .unionByName(active.select(col("dst").as("vid"))).distinct())
+        val nVerts = verts.count()
+
+        val f = minLabel(fwd, verts, nVerts)
+        val b = minLabel(rev, verts, nVerts)
+
+        // --- 4. decide fwd == bwd (whole SCCs, see Scaladoc)
+        val decided = Superstep.cut(
+          f.join(b.withColumnRenamed("lab", "blab"), Seq("vid"))
+            .where(col("lab") === col("blab"))
+            .select(col("vid"), col("lab").as("scc")))
+        val nDecided = decided.count()
+        require(nDecided > 0, "Scc: peel decided nothing — invariant broken")
+        assigned = Superstep.cut(assigned.unionByName(decided))
+        active = Superstep.cut(
+          active
+            .join(decided, active("src") === decided("vid"), "left_anti")
+            .join(decided, active("dst") === decided("vid"), "left_anti"))
+        activeEdges = active.count()
+        fwd.unpersist(false)
+        rev.unpersist(false)
+        if (debug) Console.err.println(
+          s"[scc] peel=$peels decided=$nDecided activeEdges=$activeEdges " +
+            s"propRounds=$propRounds trimRounds=$trimRounds")
+      }
+    }
+    require(
+      activeEdges == 0,
+      s"Scc: not converged after $maxPeels peels ($activeEdges edges active)")
+    // orphaned vertices (see allVerts) are singleton SCCs
+    val orphans = allVerts.join(assigned, Seq("vid"), "left_anti")
+      .select(col("vid"), col("vid").as("scc"))
+    SccResult(
+      Superstep.cut(assigned.unionByName(orphans)),
+      peels, trimRounds, propRounds)
+  }
+}

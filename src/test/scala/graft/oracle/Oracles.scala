@@ -476,4 +476,66 @@ object Oracles {
     }
     comm
   }
+
+  /** Strongly-connected components of the DIRECTED edge set via iterative
+    * Tarjan (a different algorithm from the engine's trim+FW-BW min-label
+    * peeling — agreement is evidence, not tautology). Returns
+    * vid -> min vid of its SCC, the engine's output contract.
+    */
+  def scc(edges: Seq[(Long, Long, Double)]): Map[Long, Long] = {
+    val adj = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (s, t, _) =>
+      if (s != t) adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += t
+    }
+    val verts = verticesOf(edges)
+    val index = mutable.Map.empty[Long, Int]
+    val low = mutable.Map.empty[Long, Int]
+    val onStack = mutable.Set.empty[Long]
+    val stack = mutable.ArrayBuffer.empty[Long]
+    val out = mutable.Map.empty[Long, Long]
+    var counter = 0
+    // explicit work stack: (vertex, next-child cursor) — Tarjan without
+    // recursion so long chains cannot overflow the JVM stack
+    verts.foreach { root =>
+      if (!index.contains(root)) {
+        val work = mutable.ArrayBuffer[(Long, Int)]((root, 0))
+        while (work.nonEmpty) {
+          val (v, ci) = work.remove(work.size - 1)
+          if (ci == 0) {
+            index(v) = counter; low(v) = counter; counter += 1
+            stack += v; onStack += v
+          }
+          val kids = adj.getOrElse(v, mutable.ArrayBuffer.empty)
+          var i = ci
+          var descended = false
+          while (i < kids.size && !descended) {
+            val w = kids(i)
+            if (!index.contains(w)) {
+              work += ((v, i + 1)); work += ((w, 0)); descended = true
+            } else {
+              if (onStack(w)) low(v) = math.min(low(v), index(w))
+              i += 1
+            }
+          }
+          if (!descended) {
+            if (low(v) == index(v)) {
+              val comp = mutable.ArrayBuffer.empty[Long]
+              var w = 0L
+              do {
+                w = stack.remove(stack.size - 1); onStack -= w; comp += w
+              } while (w != v)
+              val m = comp.min
+              comp.foreach(out(_) = m)
+            }
+            // propagate lowlink to the parent frame, if any
+            if (work.nonEmpty) {
+              val p = work(work.size - 1)._1
+              low(p) = math.min(low(p), low(v))
+            }
+          }
+        }
+      }
+    }
+    out.toMap
+  }
 }
