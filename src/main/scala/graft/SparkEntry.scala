@@ -395,6 +395,34 @@ object SparkEntry {
       ).as[Edge]
       Scc.run(oriented).comps
     },
+    // condensation DAG over the SPARSER vid%16 induced slice (the %8
+    // slice q_scc uses is dense enough to be one giant SCC — correct but
+    // a thin condensation; at %16 the mean degree drops to ~2 per
+    // direction and the bow-tie regime appears: giant SCC + tendrils +
+    // small cycles): SCCs contracted to nodes, level = longest directed
+    // path ending at each node (0 for sources — the topological layer
+    // profile). Exact integers; the oracle unrolls 16 max-relaxation
+    // rounds over the contracted edges (fixpoint measured at 1/3/5
+    // rounds at sf0.001/0.01/0.1, i.e. DAG depth 0/2/4, with 80 SCC
+    // nodes at sf0.1 — asserted loudly here so a deeper dataset fails
+    // with a cause, not an opaque hash mismatch)
+    "q_condensation" -> { (s, d) =>
+      import s.implicits._
+      val e8 = partEdgeDs(s, d)
+        .where(col("src") % 16 === 0 && col("dst") % 16 === 0)
+      val even = sketchHash.pair(col("src"), col("dst")) % 2 === 0
+      val oriented = e8.select(
+        when(even, col("src")).otherwise(col("dst")).as("src"),
+        when(even, col("dst")).otherwise(col("src")).as("dst"),
+        lit(1.0).as("weight"),
+      ).as[Edge]
+      val res = Scc.condense(oriented)
+      require(
+        res.rounds <= 16,
+        s"q_condensation: engine took ${res.rounds} relaxation rounds but " +
+          "the unrolled DuckDB oracle covers 16 — raise the unroll")
+      res.levels.select(col("scc"), col("level"), col("size"))
+    },
     // link prediction: resource-allocation index over non-adjacent pairs
     // (1.0/deg is a correctly-rounded IEEE division both engines produce
     // bit-identically — the reason RA is used instead of Adamic-Adar's
@@ -1787,6 +1815,56 @@ object SparkEntry {
            |SELECT v.vid, least(v.vid, coalesce(min(m.u), v.vid)) AS scc
            |FROM verts v LEFT JOIN mut m ON v.vid = m.vid
            |GROUP BY v.vid""".stripMargin
+      },
+      // condensation DAG levels — the q_scc CTE prefix (oriented edges,
+      // recursive reachability, mutual-reach scc map) on the vid%16
+      // slice, then contracted distinct cross-SCC edges and 16 unrolled
+      // longest-path max-relaxation rounds (fixpoint-equivalent: longest
+      // path on a DAG is order-free; engine fixpoint measured at 1/3/5
+      // rounds at the three sfs, and the engine lambda asserts
+      // rounds <= 16)
+      "q_condensation" -> {
+        val pair = ph("src || ',' || dst")
+        def lvlIter(i: Int): String =
+          s"""l$i AS MATERIALIZED (
+             |  SELECT n.scc,
+             |    CASE WHEN m.nl IS NULL THEN n.level
+             |         ELSE greatest(n.level, m.nl) END AS level
+             |  FROM l${i - 1} n LEFT JOIN (
+             |    SELECT c.dst AS scc, max(p.level) + 1 AS nl
+             |    FROM cd c JOIN l${i - 1} p ON c.src = p.scc GROUP BY 1
+             |  ) m ON n.scc = m.scc)""".stripMargin
+        val chain = (1 to 16).map(lvlIter).mkString(",\n")
+        s"""WITH RECURSIVE $edgesCte,
+           |e8 AS MATERIALIZED (SELECT src, dst FROM e
+           |      WHERE src % 16 = 0 AND dst % 16 = 0),
+           |de AS MATERIALIZED (
+           |  SELECT CASE WHEN ($pair) % 2 = 0 THEN src ELSE dst END AS src,
+           |         CASE WHEN ($pair) % 2 = 0 THEN dst ELSE src END AS dst
+           |  FROM e8),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM de
+           |  UNION
+           |  SELECT r.src, n.dst FROM reach r JOIN de n ON r.dst = n.src),
+           |verts AS (SELECT src AS vid FROM de UNION SELECT dst FROM de),
+           |mut AS (SELECT a.src AS vid, a.dst AS u
+           |        FROM reach a JOIN reach b
+           |          ON b.src = a.dst AND b.dst = a.src),
+           |sccmap AS MATERIALIZED (
+           |  SELECT v.vid, least(v.vid, coalesce(min(m.u), v.vid)) AS scc
+           |  FROM verts v LEFT JOIN mut m ON v.vid = m.vid GROUP BY v.vid),
+           |cd AS MATERIALIZED (
+           |  SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+           |  FROM de e JOIN sccmap sa ON e.src = sa.vid
+           |            JOIN sccmap sb ON e.dst = sb.vid
+           |  WHERE sa.scc <> sb.scc),
+           |l0 AS MATERIALIZED (
+           |  SELECT DISTINCT scc, CAST(0 AS BIGINT) AS level FROM sccmap),
+           |$chain
+           |SELECT l16.scc, l16.level,
+           |  CAST(s.size AS BIGINT) AS size
+           |FROM l16 JOIN (SELECT scc, count(*) AS size FROM sccmap
+           |               GROUP BY scc) s USING (scc)""".stripMargin
       },
       // resource-allocation link prediction: wedges through centers with
       // deg <= 64 (the hub cap, mirrored from LinkPred's maxDeg), scored

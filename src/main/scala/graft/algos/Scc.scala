@@ -12,6 +12,12 @@ final case class SccResult(
     propRounds: Int, // total min-label propagation rounds (both directions)
 )
 
+final case class CondensationResult(
+    levels: DataFrame, // (scc, level, size) — one row per SCC
+    rounds: Int, // longest-path relaxation rounds to fixpoint (= DAG depth)
+    scc: SccResult,
+)
+
 /** Strongly-connected components of a DIRECTED graph (B family — the
   * directed sibling of [[Wcc]]; on a link graph SCCs are the mutually-
   * reachable cores the bow-tie web structure is defined by, Broder et al.
@@ -213,5 +219,70 @@ object Scc {
     SccResult(
       Superstep.cut(assigned.unionByName(orphans)),
       peels, trimRounds, propRounds)
+  }
+
+  /** Condensation DAG + topological levels — the bow-tie structure view
+    * (Broder et al. 2000): contract every SCC to one node, keep the
+    * distinct cross-SCC edges (acyclic by the definition of SCC), and
+    * assign level(C) = length of the longest directed path ending at C —
+    * 0 for sources, so levels ARE a topological order and the level
+    * histogram is the DAG's layer profile. Computed by synchronous
+    * max-relaxation (level'(v) = max(level(v), 1 + max over in-neighbor
+    * levels)) to fixpoint, which on a DAG converges in exactly depth
+    * rounds; exact integers throughout, same order-free contract as
+    * [[run]].
+    *
+    * 100 TB shape: the condensation is |SCCs| nodes — typically orders
+    * of magnitude smaller than the graph (the giant SCC collapses to one
+    * node) — and each relaxation round is one equi-join + one map-side-
+    * combined max aggregation over the contracted edge set, lineage-cut
+    * per round.
+    */
+  def condense(
+      edges: Dataset[Edge],
+      maxRounds: Int = 64,
+  ): CondensationResult = Superstep.withAqeOff(edges.sparkSession) {
+    val sccRes = run(edges)
+    val comps = sccRes.comps // already lineage-cut by run()
+    val e = edges.where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val srcMap = comps.select(col("vid").as("src"), col("scc").as("csrc"))
+    val dstMap = comps.select(col("vid").as("dst"), col("scc").as("cdst"))
+    val cd = Superstep.cut(
+      e.join(srcMap, Seq("src")).join(dstMap, Seq("dst"))
+        .where(col("csrc") =!= col("cdst"))
+        .select(col("csrc").as("src"), col("cdst").as("dst")).distinct())
+    val sizes = Superstep.cut(
+      comps.groupBy(col("scc"))
+        .agg(count(lit(1)).cast("long").as("size")))
+    var lvl: DataFrame = Superstep.cut(sizes.select(col("scc")))
+      .select(col("scc"), lit(0L).as("level"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val msgs = cd.join(lvl, cd("src") === lvl("scc"))
+        .select(col("dst").as("scc"), (col("level") + 1L).as("nl"))
+        .groupBy("scc").agg(max("nl").as("ml"))
+      val next = lvl.join(msgs, Seq("scc"), "left_outer")
+        .select(
+          col("scc"),
+          greatest(col("level"), coalesce(col("ml"), col("level")))
+            .as("level"),
+          (coalesce(col("ml"), col("level")) > col("level")).as("chg"),
+        )
+      val (cut, r) = Superstep.cutAndAgg(
+        next, 0L,
+        Seq(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L))))
+      lvl = cut.drop("chg")
+      changed = r.getLong(0)
+      rounds += 1
+    }
+    require(
+      changed == 0,
+      s"Scc.condense: levels did not converge in $maxRounds rounds — " +
+        "contracted graph not acyclic (invariant broken) or deeper than " +
+        "maxRounds")
+    if (debug) Console.err.println(s"[scc] condense rounds=$rounds")
+    CondensationResult(lvl.join(sizes, Seq("scc")), rounds, sccRes)
   }
 }

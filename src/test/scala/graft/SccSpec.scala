@@ -74,6 +74,46 @@ class SccSpec extends GraftSuite {
     }
   }
 
+  test("condensation levels: layered fixture and Tarjan cross-check") {
+    // two cycles joined by a bridge, plus an out-tendril:
+    // {0,1} -> {7,8} -> 9 : levels 0, 1, 2; sizes 2, 2, 1
+    val g = Seq(
+      (0L, 1L, 1.0), (1L, 0L, 1.0),
+      (1L, 7L, 1.0),
+      (7L, 8L, 1.0), (8L, 7L, 1.0),
+      (8L, 9L, 1.0),
+    )
+    val r = Scc.condense(edgeDs(g))
+    val got = r.levels.as[(Long, Long, Long)].collect()
+      .map { case (s, l, n) => s -> ((l, n)) }.toMap
+    assert(got == Map(0L -> ((0L, 2L)), 7L -> ((1L, 2L)), 9L -> ((2L, 1L))))
+
+    // random graphs: per-SCC sizes must agree with Tarjan, levels must
+    // respect every contracted edge (level(dst) >= level(src) + 1) and
+    // every non-source must have a predecessor exactly one level below
+    val rnd = new scala.util.Random(59L)
+    val rg = (0 until 100).flatMap { _ =>
+      val a = rnd.nextInt(40).toLong
+      val b = rnd.nextInt(40).toLong
+      if (a == b) None else Some((a, b, 1.0))
+    }.distinct
+    val want = Oracles.scc(rg)
+    val wantSizes = want.groupBy(_._2).map { case (s, m) => s -> m.size.toLong }
+    val cr = Scc.condense(edgeDs(rg))
+    val levels = cr.levels.as[(Long, Long, Long)].collect()
+    assert(levels.map { case (s, _, n) => s -> n }.toMap == wantSizes)
+    val lvlOf = levels.map { case (s, l, _) => s -> l }.toMap
+    val cEdges = rg.map { case (a, b, _) => (want(a), want(b)) }
+      .filter { case (x, y) => x != y }.distinct
+    cEdges.foreach { case (x, y) =>
+      assert(lvlOf(y) >= lvlOf(x) + 1, s"edge ($x,$y) violates levels")
+    }
+    lvlOf.filter(_._2 > 0).foreach { case (y, ly) =>
+      assert(cEdges.exists { case (x, yy) => yy == y && lvlOf(x) == ly - 1 },
+        s"node $y at level $ly has no predecessor at ${ly - 1}")
+    }
+  }
+
   test("scc on a symmetrized graph equals WCC components") {
     val rnd = new scala.util.Random(31L)
     val und = (0 until 50).flatMap { _ =>
