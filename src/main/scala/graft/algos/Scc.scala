@@ -86,6 +86,7 @@ object Scc {
       edges: Dataset[Edge],
       maxPeels: Int = 64,
       maxProp: Int = 256,
+      broadcastJumpMax: Long = 1L << 20,
   ): SccResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -110,7 +111,22 @@ object Scc {
     var activeEdges = active.count()
 
     /** min-label propagation to fixpoint over one directed adjacency:
-      * lab(v) ← min(lab(v), min over in-neighbors u of lab(u)).
+      * lab(v) ← min(lab(v), min over in-neighbors u of lab(u)), with
+      * [[Wcc]]'s ADAPTIVE pointer jump (lab'(v) = lab(lab(v))) once plain
+      * rounds stop halving `changed` — O(log n) rounds on long chains
+      * instead of O(diameter).
+      *
+      * The jump is VALID on the directed problem: the loop maintains the
+      * invariant that every label is an ANCESTOR of its vertex (initially
+      * lab(v) = v; an edge round adopts an in-neighbor's label, i.e. an
+      * ancestor's ancestor; a jump adopts lab(lab(v)) — likewise an
+      * ancestor's ancestor), labels only decrease, and at any no-change
+      * fixpoint lab is edge-monotone (lab(dst) ≤ lab(src) across every
+      * edge), so lab(v) ≤ lab over any path from fwdMin(v) while the
+      * ancestor invariant gives lab(v) ≥ fwdMin(v) — the fixpoint is
+      * fwdMin with or without jumping. The jump lookup is restricted to
+      * the current label image and broadcast when small, exactly as in
+      * [[Wcc]].
       */
     def minLabel(adj: Dataset[AdjBlock], verts: DataFrame, nVerts: Long)
         : DataFrame = {
@@ -121,20 +137,53 @@ object Scc {
       var state: DataFrame = verts.select(col("vid"), col("vid").as("lab"))
       var changed = 1L
       var rounds = 0
+      var chHist = (-1L, -1L)
+      var jumpOn = false
+      var img = Long.MaxValue
       while (changed > 0 && rounds < maxProp) {
+        if (!jumpOn && chHist._1 >= 0 && chHist._2 >= 0 &&
+          chHist._1 * 2 > chHist._2) jumpOn = true
         val msgs = Superstep.scatter(adj, state)
           .groupBy("vid").agg(min("lab").as("ml"))
-        val next = state.join(msgs, Seq("vid"), "left_outer")
+        val half = state.join(msgs, Seq("vid"), "left_outer")
           .select(
             col("vid"),
             least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab"),
-            (coalesce(col("ml"), col("lab")) < col("lab")).as("chg"),
+            col("lab").as("oldLab"),
           )
+        val next = if (!jumpOn) half
+        else {
+          // half feeds the jump twice (probe + lookup): materialize once
+          val h = Superstep.cut(half, nVerts)
+          val imgDf = h.select(col("lab")).distinct()
+            .withColumnRenamed("lab", "vid")
+          val lookup = h.select(col("vid"), col("lab"))
+            .join(imgDf, Seq("vid"), "left_semi")
+            .where(col("lab") =!= col("vid"))
+            .select(col("vid").as("cv"), col("lab").as("cc"))
+          val looked =
+            if (img <= broadcastJumpMax) broadcast(lookup) else lookup
+          h.join(looked, h("lab") === col("cv"), "left_outer")
+            .select(
+              h("vid"),
+              coalesce(col("cc"), h("lab")).as("lab"),
+              col("oldLab"),
+            )
+        }
         val (cut, r) = Superstep.cutAndAgg(
-          next, nVerts,
-          Seq(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L))))
+          next.select(
+            col("vid"), col("lab"),
+            (col("lab") < col("oldLab")).as("chg")),
+          nVerts,
+          Seq(
+            coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)),
+            approx_count_distinct(col("lab")),
+          ))
         state = cut.drop("chg")
         changed = r.getLong(0)
+        chHist = (changed, chHist._1)
+        // 2x slack over the ~2% rsd estimate, same as Wcc
+        img = (r.getLong(1) * 2) min Long.MaxValue
         rounds += 1
       }
       require(
