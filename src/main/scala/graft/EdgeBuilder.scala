@@ -134,32 +134,55 @@ object EdgeBuilder {
       vidCol: String,
       maxGroup: Int = 1024,
   ): DataFrame = {
-    val mem = rel
-      .select(col(grpCol).as("grp"), col(vidCol).as("vid"))
-      .distinct()
-    pairsFromMembership(mem, maxGroup)
+    // membership dedup is FUSED into the group gather (collect_set):
+    // one aggregation exchange replaces the old distinct + sizes-join
+    // chain (guide §2.4 — two operations keyed the same way share one
+    // exchange; measured r6: the old shape paid 4-5 exchanges + an
+    // |E|-row sort-merge self-join per build)
+    val mem = rel.select(col(grpCol).as("grp"), col(vidCol).as("vid"))
+    pairsFromMembership(mem, maxGroup, preDistinct = false)
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
   }
 
   /** All-pairs (capped) co-occurrence pairs from a (grp, vid) membership
     * relation. Returns oriented pairs src < dst.
+    *
+    * Shape (round-6 rework): ONE aggregation gathers each group's
+    * distinct members as a sorted array (collect_set dedups map-side, so
+    * `preDistinct` inputs need no separate distinct pass), then the
+    * pairs are generated entirely inside whole-stage codegen by a
+    * posexplode + slice explode — no self-join, no sizes join, no sort.
+    * Memory per row is O(group) (the slice streams pair-by-pair through
+    * the generator), and the `maxGroup` star cap bounds the quadratic
+    * pair count exactly as before: oversized groups connect as a star to
+    * their minimum member (= head of the sorted array).
     */
-  private def pairsFromMembership(mem: DataFrame, maxGroup: Int): DataFrame = {
-    val sizes = mem.groupBy("grp")
-      .agg(count(lit(1)).as("gsz"), min("vid").as("gmin"))
-    val m = mem.join(sizes, "grp")
-    val small = m.where(col("gsz") <= maxGroup)
-    val allPairs = small.as("a")
-      .join(
-        small.as("b"),
-        col("a.grp") === col("b.grp") && col("a.vid") < col("b.vid"),
+  private def pairsFromMembership(
+      mem: DataFrame,
+      maxGroup: Int,
+      preDistinct: Boolean = true,
+  ): DataFrame = {
+    val m = if (preDistinct) mem.distinct() else mem
+    val grouped = m.groupBy("grp")
+      .agg(sort_array(collect_set(col("vid"))).as("vids"))
+    val small = grouped.where(size(col("vids")) <= maxGroup)
+    // ascending member order makes every emitted pair src < dst, the
+    // same orientation the old a.vid < b.vid join condition produced
+    val allPairs = small
+      .select(col("vids"), posexplode(col("vids")).as(Seq("pos", "src")))
+      .select(
+        col("src"),
+        explode(slice(col("vids"), col("pos") + 2, size(col("vids"))))
+          .as("dst"),
       )
-      .select(col("a.vid").as("src"), col("b.vid").as("dst"))
     // star fallback for huge groups: every member → group's min vid
-    val starPairs = m
-      .where(col("gsz") > maxGroup && col("vid") =!= col("gmin"))
-      .select(col("gmin").as("src"), col("vid").as("dst"))
+    val starPairs = grouped
+      .where(size(col("vids")) > maxGroup)
+      .select(
+        element_at(col("vids"), 1).as("src"),
+        explode(slice(col("vids"), lit(2), size(col("vids")))).as("dst"),
+      )
     allPairs.unionByName(starPairs)
   }
 
@@ -179,19 +202,34 @@ object EdgeBuilder {
     )
     val parts = Seq.newBuilder[DataFrame]
     if (cfg.byCommit) {
-      val mem = base.select(col("commit").as("grp"), col("vid")).distinct()
-      parts += pairsFromMembership(mem, cfg.maxGroup)
+      val mem = base.select(col("commit").as("grp"), col("vid"))
+      parts += pairsFromMembership(mem, cfg.maxGroup, preDistinct = false)
     }
     if (cfg.byPath) {
       // same path appearing in >1 repo links those files across repos
-      val mem = base.select(col("path").as("grp"), col("vid")).distinct()
-      parts += pairsFromMembership(mem, cfg.maxGroup)
+      val mem = base.select(col("path").as("grp"), col("vid"))
+      parts += pairsFromMembership(mem, cfg.maxGroup, preDistinct = false)
     }
     val all = parts.result().reduce(_ unionByName _)
     all
       .groupBy("src", "dst")
       .agg(count(lit(1)).cast("double").as("weight"))
       .as[Edge]
+  }
+
+  /** Undirected view of a DISTINCT canonical (src < dst) simple edge
+    * table: both directions via a plain union — NO merge aggregation,
+    * hence no shuffle at all (round 6, guide §2.4). Only valid when the
+    * caller can assert the input has one row per undirected pair (the
+    * [[cooccurrence]]/[[edges]] outputs are, by their final groupBy);
+    * multigraph or two-direction inputs need [[symmetrize]]'s dedup.
+    */
+  def symmetrizeDistinct(e: Dataset[Edge]): Dataset[Edge] = {
+    import e.sparkSession.implicits._
+    e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+        .as[Edge]
+    )
   }
 
   /** Undirected view: both directions of every edge, weights merged. */

@@ -118,11 +118,16 @@ object SparkEntry {
       // input ~3x (normalization agg, verts, outs) and the lazy self-join
       // plan re-ran each time — the same caller-side cut q_ppr_top20 and
       // q_modularity already use (PageRank.scala itself stays untouched
-      // to preserve the scaling-gate's frozen-file rule)
-      PageRank
-        .run(
-          Superstep.cut(partEdgeDs(s, d).toDF()).as[Edge],
-          PrConfig(tol = 0.0, maxIter = 8))
+      // to preserve the scaling-gate's frozen-file rule). The fused count
+      // sizes the loop's adaptive partitions (r6, see Tuning) — a
+      // caller-side conf wrap, the certified loop file is unchanged.
+      val (eCut, eRow) = Superstep.cutAndAgg(
+        partEdgeDs(s, d).toDF(), 0L, Seq(count(lit(1))))
+      Tuning.withShufflePartitions(
+        s, Tuning.adaptivePartitions(s, eRow.getLong(0))) {
+        PageRank
+          .run(eCut.as[Edge], PrConfig(tol = 0.0, maxIter = 8))
+      }
         .ranks.toDF()
         .select(
           col("vid"),
@@ -139,11 +144,15 @@ object SparkEntry {
     // noise far below the e7 grid.
     "q_pagerank_w20" -> { (s, d) =>
       import s.implicits._
-      // same caller-side edge-base cut as q_pagerank_top20 (see there)
-      PageRank
-        .run(
-          Superstep.cut(partEdgeDs(s, d).toDF()).as[Edge],
-          PrConfig(tol = 0.0, maxIter = 8, weighted = true))
+      // same caller-side edge-base cut + adaptive-partition wrap as
+      // q_pagerank_top20 (see there)
+      val (eCut, eRow) = Superstep.cutAndAgg(
+        partEdgeDs(s, d).toDF(), 0L, Seq(count(lit(1))))
+      Tuning.withShufflePartitions(
+        s, Tuning.adaptivePartitions(s, eRow.getLong(0))) {
+        PageRank
+          .run(eCut.as[Edge], PrConfig(tol = 0.0, maxIter = 8, weighted = true))
+      }
         .ranks.toDF()
         .select(
           col("vid"),
@@ -157,7 +166,9 @@ object SparkEntry {
         .groupBy("comp").agg(count(lit(1)).as("cnt"))
     },
     "q_labelprop_sizes" -> { (s, d) =>
-      LabelProp.run(partEdgeDs(s, d), LpConfig(iterations = 3)).toDF()
+      LabelProp.run(
+        partEdgeDs(s, d),
+        LpConfig(iterations = 3, distinctCanonical = true)).toDF()
         .groupBy("label").agg(count(lit(1)).as("cnt"))
     },
     // personalized PageRank: walk-with-restart into the vid%10==0 seed
@@ -188,7 +199,9 @@ object SparkEntry {
     // (sf0.01: 935 of 1880 vertices survive after 10 synchronous
     // rounds — measured, well inside the oracle's 32-round unroll)
     "q_kcore" -> { (s, d) =>
-      KCore.run(partEdgeDs(s, d).filter(col("weight") >= 2.0), k = 3).core
+      KCore.run(
+        partEdgeDs(s, d).filter(col("weight") >= 2.0),
+        k = 3, distinctCanonical = true).core
     },
     // multi-source BFS hop distance from the vid%10==0 seed set over the
     // same weight>=2 subgraph (the full graph has diameter ~2; the
@@ -200,7 +213,7 @@ object SparkEntry {
       val edges = Superstep
         .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
       val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
-      Bfs.run(edges, seeds).dists
+      Bfs.run(edges, seeds, distinctCanonical = true).dists
     },
     // sampled stress centrality (Shimbel 1953) over the same weight>=2
     // subgraph, seeds vid%20==0, T=4 truncation: # shortest paths of
@@ -212,7 +225,7 @@ object SparkEntry {
       val edges = Superstep
         .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
       val seeds = Superstep.vertices(edges).where(col("vid") % 20 === 0)
-      Stress.run(edges, seeds, rounds = 4).scores
+      Stress.run(edges, seeds, rounds = 4, distinctCanonical = true).scores
     },
     // weighted shortest path (delta Bellman-Ford) from the same seed set
     // over the same weight>=2 subgraph: min total co-occurrence weight.
@@ -225,7 +238,7 @@ object SparkEntry {
       val edges = Superstep
         .cut(partEdgeDs(s, d).filter(col("weight") >= 2.0).toDF()).as[Edge]
       val seeds = Superstep.vertices(edges).where(col("vid") % 10 === 0)
-      Sssp.run(edges, seeds).dists
+      Sssp.run(edges, seeds, distinctCanonical = true).dists
         .select(col("vid"), col("dist").cast("long").as("dist"))
     },
     // k-truss (k=3) of the repeat-co-occurrence subgraph: the maximal
@@ -264,6 +277,7 @@ object SparkEntry {
         partEdgeDs(s, d).filter(col("weight") >= 2.0),
         palette = 256,
         hash = sketchHash,
+        distinctCanonical = true,
       )
       // the DuckDB oracle unrolls exactly 8 rounds; a dataset needing
       // more would converge fine in the engine but FREEZE mid-run in the
@@ -325,6 +339,7 @@ object SparkEntry {
       val res = Mis.run(
         partEdgeDs(s, d).filter(col("weight") >= 2.0),
         hash = sketchHash,
+        distinctCanonical = true,
       )
       // same loud guard as q_coloring: the oracle unrolls 8 rounds
       require(
@@ -339,7 +354,9 @@ object SparkEntry {
     // queries (per-edge term is (1.0·y)/T == y/T bit-exactly — see
     // Eigen's Scaladoc for why the normalizer divides inside the scatter)
     "q_eigen_top20" -> { (s, d) =>
-      Eigen.run(partEdgeDs(s, d), EcConfig(iterations = 8))
+      Eigen.run(
+        partEdgeDs(s, d),
+        EcConfig(iterations = 8, distinctCanonical = true))
         .scores.toDF()
         .select(
           col("vid"),
@@ -354,7 +371,7 @@ object SparkEntry {
     // quantization at all (see Katz's Scaladoc); the float centrality is
     // katz_scaled/8^T, a caller-side division
     "q_katz" -> { (s, d) =>
-      Katz.run(partEdgeDs(s, d), rounds = 4).scores
+      Katz.run(partEdgeDs(s, d), rounds = 4, distinctCanonical = true).scores
     },
     // HITS hubs/authorities: 8 L1-normalized rounds over the DIRECTED
     // canonical (src < dst) edge orientation — hub and authority are
@@ -446,7 +463,8 @@ object SparkEntry {
       // the co-occurrence build is materialized once and feeds both LP
       // and the metric (each would otherwise re-run it through lineage)
       val edges = Superstep.cut(partEdgeDs(s, d).toDF()).as[Edge]
-      val labels = LabelProp.run(edges, LpConfig(iterations = 3)).toDF()
+      val labels = LabelProp
+        .run(edges, LpConfig(iterations = 3, distinctCanonical = true)).toDF()
       Modularity.of(edges, labels)
     },
     // deterministic one-level Louvain (gain-argmax move rounds, parity-
@@ -458,7 +476,7 @@ object SparkEntry {
     "q_louvain" -> { (s, d) =>
       import s.implicits._
       val edges = Superstep.cut(partEdgeDs(s, d).toDF()).as[Edge]
-      Louvain.run(edges, rounds = 4)
+      Louvain.run(edges, rounds = 4, distinctCanonical = true)
         .groupBy("comm").agg(count(lit(1)).as("cnt"))
     },
     // composed analytics: global clustering coefficient = 3T / wedges

@@ -35,18 +35,25 @@ object Bfs {
       edges: Dataset[Edge],
       seeds: DataFrame,
       maxIter: Int = 200,
+      distinctCanonical: Boolean = false,
   ): BfsResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // persisted: the CSR build, the vertex set, and the init-state cut
-    // all traverse the symmetrized base (see Eigen for the measurement)
-    val sym = EdgeBuilder.symmetrize(edges.filter(col("src") =!= col("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // all traverse the symmetrized base (see Eigen for the measurement);
+    // distinctCanonical callers take the shuffle-free symmetrize
+    val simple = edges.filter(col("src") =!= col("dst"))
+    val sym =
+      (if (distinctCanonical) EdgeBuilder.symmetrizeDistinct(simple)
+       else EdgeBuilder.symmetrize(simple))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val symCnt = sym.count() // sizes the adaptive partitions
+    val pEff = Tuning.adaptivePartitions(spark, symCnt)
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
     val adj = Csr.build(sym, p, Csr.WeightMode.One)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
 
     val verts = Superstep.vertices(sym)
     // (vid, dist) — dist null until reached; seeds start at 0
@@ -92,5 +99,6 @@ object Bfs {
     adj.unpersist(false)
     sym.unpersist(false)
     BfsResult(dists, iter)
+    } // withShufflePartitions
   }
 }

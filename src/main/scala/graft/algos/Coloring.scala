@@ -72,26 +72,31 @@ object Coloring {
       palette: Int = 256,
       hash: Hash64 = Hash64.Xx,
       maxRounds: Int = 64,
+      distinctCanonical: Boolean = false,
   ): ColoringResult = Superstep.withAqeOff(edges.sparkSession) {
     require(palette >= 1, "palette >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val sym = EdgeBuilder
-      .symmetrize(edges.filter(col("src") =!= col("dst")))
-      .select(col("src"), col("dst"), lit(1.0).as("weight"))
-      .as[Edge]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val adj = Csr.build(sym, p, Csr.WeightMode.One)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val adjCount = adj.count()
+    // distinctCanonical callers take the shuffle-free symmetrize
+    val simple = edges.filter(col("src") =!= col("dst"))
+    val sym =
+      (if (distinctCanonical) EdgeBuilder.symmetrizeDistinct(simple)
+       else EdgeBuilder.symmetrize(simple))
+        .select(col("src"), col("dst"), lit(1.0).as("weight"))
+        .as[Edge]
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjCount = sym.count() // = adjacency entries; also sizes pEff
     if (adjCount == 0) {
-      adj.unpersist(false)
       sym.unpersist(false)
       return ColoringResult(
         spark.emptyDataset[(Long, Long)].toDF("vid", "color"), 0)
     }
+    val pEff = Tuning.adaptivePartitions(spark, adjCount)
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
+    val adj = Csr.build(sym, p, Csr.WeightMode.One)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val h = hash.one(col("vid")).bitwiseAND(lit(Mask60))
     var state: DataFrame = Superstep.cut(
@@ -162,6 +167,7 @@ object Coloring {
     adj.unpersist(false)
     sym.unpersist(false)
     ColoringResult(out, iter)
+    } // withShufflePartitions
   }
 
   /** mex over a DISTINCT-element int array: the smallest k in

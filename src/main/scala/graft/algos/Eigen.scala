@@ -52,28 +52,35 @@ object Eigen {
   ): EigenResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // persist the derived edge base: the CSR build, the vertex set, and
     // the init-state cut all traverse it — without the cache each is a
     // full recompute of the caller's (possibly expensive) edge pipeline
-    // (measured: the sf0.1 co-occurrence build re-ran 3× per call)
+    // (measured: the sf0.1 co-occurrence build re-ran 3× per call).
+    // distinctCanonical inputs take the shuffle-free symmetrize.
     val tCsr = System.nanoTime()
     val base =
-      (if (cfg.symmetrize) EdgeBuilder.symmetrize(edges) else edges)
+      (if (!cfg.symmetrize) edges
+       else if (cfg.distinctCanonical) EdgeBuilder.symmetrizeDistinct(edges)
+       else EdgeBuilder.symmetrize(edges))
         .persist(StorageLevel.MEMORY_AND_DISK)
+    // base rows = adjacency entries (no dedup in Csr.build), so this one
+    // count replaces the old Csr.edgeCount job AND sizes the loop's
+    // adaptive partitions (message volume per superstep is |E|)
+    val edgeCnt = base.count()
+    if (debug) Console.err.println(
+      f"[eigen] base ${(System.nanoTime() - tCsr) / 1e9}%.2fs")
+    if (edgeCnt == 0) {
+      base.unpersist(false)
+      return EigenResult(spark.emptyDataset[ScoreState], 0, 0L, 0.0)
+    }
+    val pEff = Tuning.adaptivePartitions(spark, edgeCnt)
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
     val mode =
       if (cfg.weighted) Csr.WeightMode.Raw else Csr.WeightMode.One
     val adj = Csr.build(base, p, mode)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCnt = Csr.edgeCount(adj)
-    if (debug) Console.err.println(
-      f"[eigen] csr ${(System.nanoTime() - tCsr) / 1e9}%.2fs")
-    if (edgeCnt == 0) {
-      adj.unpersist(false)
-      base.unpersist(false)
-      return EigenResult(spark.emptyDataset[ScoreState], 0, 0L, 0.0)
-    }
 
     val tInit = System.nanoTime()
     val verts = Superstep.vertices(base)
@@ -115,5 +122,6 @@ object Eigen {
     adj.unpersist(false)
     base.unpersist(false)
     EigenResult(out, iter, edgeCnt, wall)
+    } // withShufflePartitions
   }
 }

@@ -100,10 +100,19 @@ object HyperBall {
   ): HyperBallChain = Superstep.withAqeOff(edges.sparkSession) {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val base = EdgeBuilder.symmetrize(edges)
+    // union-only symmetrize is valid UNCONDITIONALLY here: register
+    // merging is a max — idempotent — so duplicate adjacency entries
+    // (two-direction inputs, multi-edges) cannot change any register,
+    // the same argument as Wcc's min (round 6)
+    val base = EdgeBuilder.symmetrizeDistinct(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val symCnt = base.count()
+    // per-superstep message volume is ~Registers·|E| (one row per
+    // (register, out-edge)); size the loop's partitions to that
+    val pEff = Tuning.adaptivePartitions(spark, symCnt * Registers)
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
     val adj = Csr.build(base, p, Csr.WeightMode.One)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nVerts = Superstep.vertices(base).count()
@@ -140,6 +149,7 @@ object HyperBall {
     adj.unpersist(false)
     base.unpersist(false)
     HyperBallChain(state, perRound, rounds)
+    } // withShufflePartitions
   }
 
   def run(

@@ -43,30 +43,36 @@ object KCore {
       edges: Dataset[Edge],
       k: Int,
       maxIter: Int = 1000,
+      distinctCanonical: Boolean = false,
   ): KCoreResult = Superstep.withAqeOff(edges.sparkSession) {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = edges.sparkSession
     import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // one undirected edge per unordered pair, each direction once (the
-    // symmetrize groupBy merges duplicates), no self-loops: the degree a
-    // message round measures is then exactly |active neighbors|
-    val sym = EdgeBuilder
-      .symmetrize(edges.filter(col("src") =!= col("dst")))
-      .select(col("src"), col("dst"), lit(1.0).as("weight"))
-      .as[Edge]
-      // persisted: the CSR build and the init-state cut both traverse
-      // the symmetrized base (see Eigen for the measurement)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val adj = Csr.build(sym, p, Csr.WeightMode.One)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val adjCount = adj.count()
+    // symmetrize groupBy merges duplicates; distinctCanonical callers
+    // skip that aggregation — see EdgeBuilder.symmetrizeDistinct), no
+    // self-loops: the degree a message round measures is then exactly
+    // |active neighbors|
+    val simple = edges.filter(col("src") =!= col("dst"))
+    val sym =
+      (if (distinctCanonical) EdgeBuilder.symmetrizeDistinct(simple)
+       else EdgeBuilder.symmetrize(simple))
+        .select(col("src"), col("dst"), lit(1.0).as("weight"))
+        .as[Edge]
+        // persisted: the CSR build and the init-state cut both traverse
+        // the symmetrized base (see Eigen for the measurement)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjCount = sym.count() // = adjacency entries; also sizes pEff
     if (adjCount == 0) {
-      adj.unpersist(false)
       sym.unpersist(false)
       return KCoreResult(spark.emptyDataset[Long].toDF("vid"), 0)
     }
+    val pEff = Tuning.adaptivePartitions(spark, adjCount)
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
+    val adj = Csr.build(sym, p, Csr.WeightMode.One)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // (vid, active); everyone starts active
     var state: DataFrame = Superstep.cut(
@@ -105,5 +111,6 @@ object KCore {
     adj.unpersist(false)
     sym.unpersist(false)
     KCoreResult(core, iter)
+    } // withShufflePartitions
   }
 }

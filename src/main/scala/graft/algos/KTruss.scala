@@ -74,19 +74,24 @@ object KTruss {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(fullRecountFactor >= 1, "fullRecountFactor must be >= 1")
     val spark = edges.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val minSup = (k - 2).toLong
     val debug = sys.env.get("GRAFT_DEBUG").contains("1")
 
-    val base = Superstep.cut(
+    // canonical simple edge set, materialized with its count in one job
+    val (base, bRow) = Superstep.cutAndAgg(
       edges.toDF()
         .select(
           least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"),
         )
         .where(col("a") =!= col("b"))
-        .distinct()
-    )
+        .distinct(),
+      0L, Seq(count(lit(1))))
+    // peeling only shrinks the edge set, so |base| sizes every round's
+    // shuffles (see Tuning's Scaladoc)
+    val pEff = Tuning.adaptivePartitions(spark, bRow.getLong(0))
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
     // seed: one full support pass over the whole graph
     val tSeed = System.nanoTime()
     var cur: DataFrame = withSupports(base, p)
@@ -199,6 +204,7 @@ object KTruss {
       iter,
       trace.result(),
     )
+    } // withShufflePartitions
   }
 
   /** Full per-edge support over `es` (canonical (a,b) rows): the seeded

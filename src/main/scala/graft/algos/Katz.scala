@@ -42,25 +42,37 @@ final case class KatzResult(
   */
 object Katz {
 
-  def run(edges: Dataset[Edge], rounds: Int = 4): KatzResult =
+  /** @param distinctCanonical caller asserts one row per undirected
+    *        (src < dst) pair — symmetrize skips its merge aggregation
+    *        (see [[EdgeBuilder.symmetrizeDistinct]]).
+    */
+  def run(
+      edges: Dataset[Edge],
+      rounds: Int = 4,
+      distinctCanonical: Boolean = false,
+  ): KatzResult =
     Superstep.withAqeOff(edges.sparkSession) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-      val base = EdgeBuilder.symmetrize(edges)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val adj = Csr.build(base, p, Csr.WeightMode.One)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val edgeCnt = Csr.edgeCount(adj)
+      val base =
+        (if (distinctCanonical) EdgeBuilder.symmetrizeDistinct(edges)
+         else EdgeBuilder.symmetrize(edges))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      // = adjacency entry count (One mode); also sizes the adaptive
+      // partitions — message volume per round is |E|
+      val edgeCnt = base.count()
       if (edgeCnt == 0) {
-        adj.unpersist(false)
         base.unpersist(false)
         return KatzResult(
           spark.emptyDataset[(Long, Long, Long)]
             .toDF("vid", "walks", "katz_scaled"),
           0, 0L)
       }
+      val pEff = Tuning.adaptivePartitions(spark, edgeCnt)
+      Tuning.withShufflePartitions(spark, pEff) {
+      val adj = Csr.build(base, pEff, Csr.WeightMode.One)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val verts = Superstep.vertices(base)
       val nVerts = verts.count()
 
@@ -105,5 +117,6 @@ object Katz {
       KatzResult(
         state.select(col("vid"), col("walks"), col("acc").as("katz_scaled")),
         iter, edgeCnt)
+      } // withShufflePartitions
     }
 }

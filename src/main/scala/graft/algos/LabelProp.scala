@@ -47,17 +47,22 @@ object LabelProp {
   ): Dataset[LabelState] = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // persisted: the CSR build and the init-state cut both traverse the
-    // derived base (see Eigen for the measurement)
+    // derived base (see Eigen for the measurement).
+    // distinctCanonical inputs take the shuffle-free symmetrize.
     val base =
-      (if (cfg.symmetrize) EdgeBuilder.symmetrize(edges) else edges)
+      (if (!cfg.symmetrize) edges
+       else if (cfg.distinctCanonical) EdgeBuilder.symmetrizeDistinct(edges)
+       else EdgeBuilder.symmetrize(edges))
         .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjCount = base.count() // = adjacency entries; also sizes pEff
+    val pEff = Tuning.adaptivePartitions(spark, adjCount)
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
     val mode =
       if (cfg.weighted) Csr.WeightMode.Raw else Csr.WeightMode.One
     val adj = Csr.build(base, p, mode)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val adjCount = adj.count() // ~|V| when symmetrized
 
     val resumed = store.flatMap(_.latest(spark))
     var iter = resumed.map(_._1.iteration).getOrElse(0)
@@ -93,6 +98,7 @@ object LabelProp {
     adj.unpersist(false)
     base.unpersist(false)
     out
+    } // withShufflePartitions
   }
 
   /** One synchronous superstep: (vid, label) state in, next state out.

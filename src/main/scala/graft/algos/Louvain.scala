@@ -69,18 +69,30 @@ object Louvain {
     * @return (vid, comm) — comm is the smallest-label convention vid of
     *         the community each vertex ended in.
     */
-  def run(edges: Dataset[Edge], rounds: Int = 4): DataFrame =
+  def run(
+      edges: Dataset[Edge],
+      rounds: Int = 4,
+      distinctCanonical: Boolean = false,
+  ): DataFrame =
     Superstep.withAqeOff(edges.sparkSession) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val base = EdgeBuilder.symmetrize(edges)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // distinctCanonical callers (one row per undirected src<dst pair)
+      // take the shuffle-free symmetrize — see EdgeBuilder
+      val base =
+        (if (distinctCanonical) EdgeBuilder.symmetrizeDistinct(edges)
+         else EdgeBuilder.symmetrize(edges))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      // sym entries = 2m; m = |undirected simple edges|. The one count
+      // also sizes the adaptive partitions (candidate volume per round
+      // is ~2m) and replaces the old separate adj.count job.
+      val m: Long = base.count() / 2
+      val adjCount = 2L * m
+      val pEff = Tuning.adaptivePartitions(spark, 2L * m)
+      Tuning.withShufflePartitions(spark, pEff) {
+      val p = pEff
       val adj = Csr.build(base, p, Csr.WeightMode.One)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val adjCount = adj.count()
-      // sym entries = 2m; m = |undirected simple edges|
-      val m: Long = base.count() / 2
       // simple degree, hash(vid)-partitioned (groupBy src leaves it there)
       val degDf = Superstep.cut(
         base.toDF().groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -111,10 +123,29 @@ object Louvain {
       adj.unpersist(false)
       base.unpersist(false)
       state
+      } // withShufflePartitions
     }
 
   /** One synchronous gain-argmax move round. Package-visible for the
     * plan-shape suite.
+    *
+    * Round-6 rework — the round is now one LINEAR chain, so [[run]]
+    * lineage-cuts it in a single job (the old shape materialized an
+    * |E|-row candidate frame per round because `stay`, `best` and the
+    * state update each re-referenced it):
+    *   - the own-community candidate (k = 0) is injected BEFORE the one
+    *     vid repartition, removing the second full |E|-row exchange the
+    *     old union + re-repartition paid;
+    *   - the own-community gain (`stay`) and size (`ownsz`, for the
+    *     singleton guard) no longer come from a self-join of the
+    *     candidate set: ownsz rides a state ⋈ Σtot dimension join
+    *     (broadcast under the same count gate) and stay folds into the
+    *     SAME per-vid aggregate as the argmax
+    *     (max(when(nc = comm, gain))) — semantics unchanged, the own
+    *     row is always present.
+    * Exchange count per round (broadcast mode): the Σtot groupBy(comm)
+    * [1] and the one vid repartition of the pre-reduced candidate
+    * partials [2] — down from four.
     */
   private[graft] def moveRound(
       adj: Dataset[AdjBlock],
@@ -130,14 +161,25 @@ object Louvain {
     import spark.implicits._
     // Σtot(c) = Σ_{v∈c} deg(v) and |c| (for the singleton guard) — state
     // ⋈deg is exchange-free (both hash(vid)); the groupBy(comm) is
-    // exchange 1
+    // exchange 1. One row per community (≤ |V|, shrinking every round) →
+    // broadcast dimension under the count gate, never a shuffle of the
+    // |E|-sized candidate set on nc at 10^12 scale the gate falls back
+    // to a shuffle join.
     val ctot = state.join(degDf, "vid")
       .groupBy("comm").agg(sum("deg").as("tot"), count(lit(1)).as("csz"))
       .select(col("comm").as("nc"), col("tot"), col("csz"))
+    val ctotSide = if (bcastTot) broadcast(ctot) else ctot
+    // own-community size per vertex (singleton guard input): a second
+    // reference to the same broadcast dimension, reused not recomputed
+    val ownDf = state
+      .join(ctotSide, state("comm") === ctot("nc"))
+      .select(col("vid"), col("comm"), col("csz").as("ownsz"))
     // k(v,c): every neighbor scatters its community; map-side pre-reduce
-    // in a primitive map (hub guard), then the ONE vid repartition
-    // (exchange 2), then the final (vid, nc) sum — hash(vid) satisfies
-    // the groupBy(vid, nc) clustering, no extra exchange
+    // in a primitive map (hub guard); the OWN community joins the stream
+    // as a kw = 0 row so it is always a candidate and `stay` falls out
+    // of the same gain column; then the ONE vid repartition (exchange 2)
+    // — hash(vid) satisfies the groupBy (vid, nc) clustering and every
+    // downstream vid join/aggregate, no further exchange
     val partials = Superstep.scatter(adj, state)
       .select(col("vid"), col("comm"), col("w"))
       .as[(Long, Long, Double)]
@@ -147,78 +189,53 @@ object Louvain {
         mm.iterator
       }
       .toDF("vid", "nc", "kw")
-    val kTab = partials
+    val kAll = partials
+      .unionByName(
+        state.select(col("vid"), col("comm").as("nc"), lit(0.0).as("kw"))
+      )
       .repartition(p, col("vid"))
       .groupBy("vid", "nc")
       .agg(sum("kw").cast("long").as("k"))
-    // ensure the OWN community is always a candidate (k=0 when no
-    // neighbor shares it) so stay2m falls out of the same gain column.
-    // union erases partitioning metadata, so re-establish hash(vid) ONCE
-    // (exchange 3) — hash(vid) clusters (vid, nc), so the groupBy here,
-    // the vid joins below, the stay self-join, AND the argmax groupBy
-    // all reuse this single exchange instead of shuffling the |E|-sized
-    // candidate set three more times (measured: q_louvain was the most
-    // expensive query on the board before this)
-    val kAll = kTab
-      .unionByName(
-        state.select(col("vid"), col("comm").as("nc"), lit(0L).as("k"))
+    // candidate gains + singleton minimum-label guard + argmax with
+    // smallest-nc tie-break, all in one pass over the candidate rows;
+    // the own community always participates — at gain == stay it can
+    // win the tie but never the strict > below, so "best is own"
+    // degenerates to "keep"
+    val agg = kAll
+      .join(ownDf, "vid")
+      .join(degDf, "vid")
+      .join(ctotSide, "nc")
+      .select(
+        col("vid"),
+        col("nc"),
+        col("comm"),
+        col("csz"),
+        col("ownsz"),
+        (twoM * col("k")
+          - col("deg").cast("decimal(38,0)")
+            * (col("tot")
+              - when(col("nc") === col("comm"), col("deg"))
+                .otherwise(lit(0L))))
+          .as("gain"),
       )
-      .repartition(p, col("vid"))
-      .groupBy("vid", "nc").agg(max("k").as("k"))
-    // candidate gains: own-state/deg join on vid (exchange-free — all
-    // sides hash(vid)); Σtot is one row per COMMUNITY (≤ |V|, shrinking
-    // every round) → broadcast dimension, never a shuffle of the
-    // |E|-sized candidate set on nc.
-    // CUT HERE: cand is referenced by stay, by the best-join, and
-    // (through stay) by the final state join — left lazy, Catalyst
-    // re-executes the whole scatter→pre-reduce→argmax-input chain once
-    // PER REFERENCE (measured: 26.6 s/round fused vs ~7 s with every
-    // piece materialized, LouvainProbe). One |E|-row materialization per
-    // round buys back the 4-6x chain re-execution.
-    val cand = Superstep.cut(
-      kAll
-        .join(state, "vid")
-        .join(degDf, "vid")
-        .join(if (bcastTot) broadcast(ctot) else ctot, "nc")
-        .select(
-          col("vid"),
-          col("nc"),
-          col("comm"),
-          col("csz"),
-          (twoM * col("k")
-            - col("deg").cast("decimal(38,0)")
-              * (col("tot")
-                - when(col("nc") === col("comm"), col("deg"))
-                  .otherwise(lit(0L))))
-            .as("gain"),
-        ),
-      candRows,
-    )
-    val stay = cand.where(col("nc") === col("comm"))
-      .select(col("vid"), col("gain").as("stay"), col("csz").as("ownsz"))
-    // singleton minimum-label guard (see Scaladoc), then argmax with
-    // smallest-nc tie-break (exchange 4); the own community always
-    // participates — at gain == stay it can win the tie but never the
-    // strict > below, so "best is own" degenerates to "keep"
-    val best = cand
-      .join(stay, "vid")
       .where(
         col("nc") === col("comm")
           || !(col("csz") === 1L && col("ownsz") === 1L
             && col("nc") > col("comm"))
       )
       .groupBy("vid")
-      .agg(max(struct(col("gain"), (-col("nc")).as("nn"))).as("b"))
-      .select(col("vid"), (-col("b.nn")).as("bnc"), col("b.gain").as("bgain"))
-    val parity = ((col("vid") % 2) + 2) % 2
-    state
-      .join(stay, Seq("vid"))
-      .join(best, Seq("vid"))
-      .select(
-        col("vid"),
-        when(parity === lit(r % 2) && col("bgain") > col("stay"), col("bnc"))
-          .otherwise(col("comm"))
-          .as("comm"),
+      .agg(
+        max(struct(col("gain"), (-col("nc")).as("nn"))).as("b"),
+        max(when(col("nc") === col("comm"), col("gain"))).as("stay"),
+        max(col("comm")).as("comm"), // functionally determined by vid
       )
+    val parity = ((col("vid") % 2) + 2) % 2
+    agg.select(
+      col("vid"),
+      when(parity === lit(r % 2) && col("b.gain") > col("stay"),
+        -col("b.nn"))
+        .otherwise(col("comm"))
+        .as("comm"),
+    )
   }
 }

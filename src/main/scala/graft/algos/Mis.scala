@@ -47,27 +47,32 @@ object Mis {
       edges: Dataset[Edge],
       hash: Hash64 = Hash64.Xx,
       maxRounds: Int = 256,
+      distinctCanonical: Boolean = false,
   ): MisResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // one undirected edge per direction, duplicates merged, no
     // self-loops (a self-loop would make a vertex its own neighbor and
-    // empty the MIS) — the KCore base build
-    val sym = EdgeBuilder
-      .symmetrize(edges.filter(col("src") =!= col("dst")))
-      .select(col("src"), col("dst"), lit(1.0).as("weight"))
-      .as[Edge]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val adj = Csr.build(sym, p, Csr.WeightMode.One)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val adjCount = adj.count()
+    // empty the MIS) — the KCore base build; distinctCanonical callers
+    // take the shuffle-free symmetrize
+    val simple = edges.filter(col("src") =!= col("dst"))
+    val sym =
+      (if (distinctCanonical) EdgeBuilder.symmetrizeDistinct(simple)
+       else EdgeBuilder.symmetrize(simple))
+        .select(col("src"), col("dst"), lit(1.0).as("weight"))
+        .as[Edge]
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjCount = sym.count() // = adjacency entries; also sizes pEff
     if (adjCount == 0) {
-      adj.unpersist(false)
       sym.unpersist(false)
       return MisResult(spark.emptyDataset[Long].toDF("vid"), 0)
     }
+    val pEff = Tuning.adaptivePartitions(spark, adjCount)
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
+    val adj = Csr.build(sym, p, Csr.WeightMode.One)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // status: 0 = active, 1 = in MIS, 2 = dominated (a neighbor won)
     var state: DataFrame = Superstep.cut(
@@ -127,5 +132,6 @@ object Mis {
     adj.unpersist(false)
     sym.unpersist(false)
     MisResult(mis, iter)
+    } // withShufflePartitions
   }
 }

@@ -61,7 +61,6 @@ object Ppr {
   ): PprResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // persist the input edges: the CSR build, vertex set, out-set, and
     // the caller's seed pipeline (usually derived from the SAME edge
@@ -69,17 +68,21 @@ object Ppr {
     // without the cache a cold PPR re-ran the sf0.1 co-occurrence build
     // ~7× (measured 158 s → ~30 s)
     val base = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // base rows = adjacency entries (Norm modes keep every row), so the
+    // count replaces the old Csr.edgeCount job and sizes pEff
+    val edgeCnt = base.count()
+    if (edgeCnt == 0) {
+      base.unpersist(false)
+      return PprResult(spark.emptyDataset[RankState], 0, 0L, 0.0)
+    }
+    val pEff = Tuning.adaptivePartitions(spark, edgeCnt)
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
     val mode =
       if (cfg.weighted) Csr.WeightMode.NormWeighted
       else Csr.WeightMode.NormUniform
     val adj = Csr.build(base, p, mode)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCnt = Csr.edgeCount(adj)
-    if (edgeCnt == 0) {
-      adj.unpersist(false)
-      base.unpersist(false)
-      return PprResult(spark.emptyDataset[RankState], 0, 0L, 0.0)
-    }
 
     val verts = Superstep.vertices(base)
     val outs = base.select(col("src").as("vid")).distinct()
@@ -103,11 +106,13 @@ object Ppr {
         when(col("isSrc"), lit(1.0 / nSrc)).otherwise(lit(0.0)).as("reset"),
         when(col("isSrc"), lit(1.0 / nSrc)).otherwise(lit(0.0)).as("rank"),
       )
-    state = Superstep.cut(state, nVerts)
-    var dm = state
-      .agg(coalesce(sum(when(col("dangling"), col("rank"))
-        .otherwise(0.0)), lit(0.0)))
-      .head().getDouble(0)
+    // lineage cut + the initial dangling-mass aggregate in ONE job
+    val (stCut, stRow) = Superstep.cutAndAgg(
+      state, nVerts,
+      Seq(coalesce(sum(when(col("dangling"), col("rank"))
+        .otherwise(0.0)), lit(0.0))))
+    state = stCut
+    var dm = stRow.getDouble(0)
 
     var iter = 0
     var delta = Double.MaxValue
@@ -150,5 +155,6 @@ object Ppr {
     adj.unpersist(false)
     base.unpersist(false)
     PprResult(ranks, iter, edgeCnt, wall)
+    } // withShufflePartitions
   }
 }

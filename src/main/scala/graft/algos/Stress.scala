@@ -50,12 +50,19 @@ object Stress {
       edges: Dataset[Edge],
       seeds: DataFrame,
       rounds: Int = 4,
+      distinctCanonical: Boolean = false,
   ): StressResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
-    val sym = EdgeBuilder.symmetrize(edges.filter(col("src") =!= col("dst")))
-      .select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count()
+    // distinctCanonical callers take the shuffle-free symmetrize
+    val simple = edges.filter(col("src") =!= col("dst"))
+    val sym =
+      (if (distinctCanonical) EdgeBuilder.symmetrizeDistinct(simple)
+       else EdgeBuilder.symmetrize(simple))
+        .select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val symCnt = sym.count()
+    val pEff = Tuning.adaptivePartitions(spark, symCnt)
+    Tuning.withShufflePartitions(spark, pEff) {
 
     // forward: (seed, vid, dist, sigma); seeds start the frontier
     var state: DataFrame = Superstep.cut(
@@ -120,5 +127,6 @@ object Stress {
     val pairs = g.count()
     sym.unpersist(false)
     StressResult(scores, pairs, rounds)
+    } // withShufflePartitions
   }
 }

@@ -67,14 +67,21 @@ object Wcc {
   ): WccResult = Superstep.withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // persisted: the CSR build and the init-state cut both traverse the
-    // symmetrized base (see Eigen for the measurement)
-    val sym = EdgeBuilder.symmetrize(edges)
+    // symmetrized base (see Eigen for the measurement). Union-only
+    // symmetrize (round 6): min-label propagation is IDEMPOTENT in the
+    // adjacency — duplicate (u,v) entries (two-direction inputs,
+    // multi-edges, self-loops) cannot change any min — so the general
+    // symmetrize's merge aggregation (one full 2|E| exchange) is pure
+    // overhead here for ANY input, not just canonical ones.
+    val sym = EdgeBuilder.symmetrizeDistinct(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val adjCount = sym.count() // = adjacency entries; also sizes pEff
+    val pEff = Tuning.adaptivePartitions(spark, adjCount)
+    Tuning.withShufflePartitions(spark, pEff) {
+    val p = pEff
     val adj = Csr.build(sym, p, Csr.WeightMode.One)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val adjCount = adj.count() // ~|V| on a symmetrized graph
 
     val resumed = store.flatMap(_.latest(spark))
     var iter = resumed.map(_._1.iteration).getOrElse(0)
@@ -199,5 +206,6 @@ object Wcc {
     adj.unpersist(false)
     sym.unpersist(false)
     WccResult(out, iter - startIter)
+    } // withShufflePartitions
   }
 }

@@ -82,6 +82,10 @@ final case class LpConfig(
     weighted: Boolean = true,
     symmetrize: Boolean = true,
     checkpointEvery: Int = 8,
+    // caller asserts the input has ONE row per undirected (src < dst)
+    // pair (e.g. an EdgeBuilder.cooccurrence output): symmetrize then
+    // skips its merge aggregation (EdgeBuilder.symmetrizeDistinct)
+    distinctCanonical: Boolean = false,
 )
 
 /** Eigenvector-centrality configuration. Fixed iteration count (power
@@ -93,6 +97,8 @@ final case class EcConfig(
     iterations: Int = 8,
     weighted: Boolean = false,
     symmetrize: Boolean = true,
+    // see LpConfig.distinctCanonical
+    distinctCanonical: Boolean = false,
 )
 
 /** Edge-builder configuration (SURVEY.md §2.A J2).

@@ -54,6 +54,14 @@ class SccSpec extends GraftSuite {
     assert(got(g) == Map(4L -> 4L, 6L -> 4L))
   }
 
+  test("a vertex with ONLY a self-loop is a singleton SCC (r5 advice)") {
+    // 9's only edge is (9,9): it must still appear in the output as a
+    // singleton — the vertex universe is ALL edge endpoints, matching
+    // Oracles.scc's verticesOf and Wcc's symmetrize behaviour
+    val g = Seq((9L, 9L, 1.0), (1L, 2L, 1.0), (2L, 1L, 1.0))
+    assert(got(g) == Map(9L -> 9L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("scc matches the Tarjan oracle on seeded random directed graphs") {
     Seq(17L, 211L, 977L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
