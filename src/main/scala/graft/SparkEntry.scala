@@ -100,11 +100,11 @@ object SparkEntry {
     // ---- graph algorithms (B1-B4) ----
     "q_tri_global" -> { (s, d) =>
       import s.implicits._
-      val g = Triangles.globalCount(partEdgeDs(s, d))
+      val g = Triangles.globalCount(partEdgeDs(s, d), distinctCanonical = true)
       s.createDataset(Seq(g)).toDF("triangles")
     },
     "q_tri_pervertex" -> ((s, d) =>
-      Triangles.run(partEdgeDs(s, d)).perVertex),
+      Triangles.run(partEdgeDs(s, d), distinctCanonical = true).perVertex),
     // ranks are compared as round(rank*1e7) BIGINTs on both sides: raw
     // float64 ranks differ across engines in the last ulps (shuffle
     // reduction order), and decimal STRINGS are halfway-unsafe (Java
@@ -446,7 +446,8 @@ object SparkEntry {
     // unportable ln); maxDeg=64 exercises the hub cap for real (the
     // co-occurrence graph's hubs exceed it at every sf)
     "q_linkpred" -> { (s, d) =>
-      LinkPred.resourceAllocation(partEdgeDs(s, d), maxDeg = 64)
+      LinkPred.resourceAllocation(
+        partEdgeDs(s, d), maxDeg = 64, distinctCanonical = true)
         .select(
           col("src"), col("dst"), col("cn"),
           round(col("ra") * 1e7, 0).cast("long").as("ra_e7"),
@@ -487,7 +488,7 @@ object SparkEntry {
       // one materialized build feeds the triangle count AND the wedge
       // aggregate (previously two independent builds + re-scans)
       val e = Superstep.cut(partEdgeDs(s, d).toDF())
-      val tri = Triangles.globalCount(e.as[Edge])
+      val tri = Triangles.globalCount(e.as[Edge], distinctCanonical = true)
       e.select(col("src").as("vid"))
         .unionByName(e.select(col("dst").as("vid")))
         .groupBy("vid").agg(count(lit(1)).as("deg"))
@@ -511,7 +512,7 @@ object SparkEntry {
     "q_lcc" -> { (s, d) =>
       import s.implicits._
       val e = Superstep.cut(partEdgeDs(s, d).toDF())
-      val tri = Triangles.run(e.as[Edge]).perVertex
+      val tri = Triangles.run(e.as[Edge], distinctCanonical = true).perVertex
       val deg = e.select(col("src").as("vid"))
         .unionByName(e.select(col("dst").as("vid")))
         .groupBy("vid").agg(count(lit(1)).as("deg"))

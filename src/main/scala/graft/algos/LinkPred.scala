@@ -42,16 +42,21 @@ object LinkPred {
   def resourceAllocation(
       edges: Dataset[Edge],
       maxDeg: Int = 1024,
+      distinctCanonical: Boolean = false,
   ): DataFrame = {
-    // canonical simple edges (co-occurrence tables are already canonical;
-    // stay correct for arbitrary directed input)
-    val und = edges.toDF()
-      .select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"),
-      )
-      .where(col("a") =!= col("b"))
-      .distinct()
+    // canonical simple edges (co-occurrence tables are already canonical
+    // — distinctCanonical callers skip this full-|E| exchange; stays
+    // correct for arbitrary directed input without the flag)
+    val und =
+      if (distinctCanonical)
+        edges.toDF().select(col("src").as("a"), col("dst").as("b"))
+      else edges.toDF()
+        .select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"),
+        )
+        .where(col("a") =!= col("b"))
+        .distinct()
     val sym = und.select(col("a").as("w"), col("b").as("u"))
       .unionByName(und.select(col("b").as("w"), col("a").as("u")))
     val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))

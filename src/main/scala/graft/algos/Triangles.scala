@@ -33,9 +33,22 @@ object Triangles {
     * roughly doubles the work; callers that just need T shouldn't pay
     * for it).
     */
-  def globalCount(edges: Dataset[Edge]): Long = run(edges, perVertex = false).global
+  def globalCount(
+      edges: Dataset[Edge],
+      distinctCanonical: Boolean = false,
+  ): Long =
+    run(edges, perVertex = false, distinctCanonical = distinctCanonical).global
 
-  def run(edges: Dataset[Edge], perVertex: Boolean = true): TriResult = {
+  /** @param distinctCanonical caller asserts one row per unordered pair,
+    *        already oriented src < dst with no self-loops (the
+    *        EdgeBuilder.cooccurrence contract) — skips the canonicalize
+    *        + distinct pass, one full |E| exchange (round 6).
+    */
+  def run(
+      edges: Dataset[Edge],
+      perVertex: Boolean = true,
+      distinctCanonical: Boolean = false,
+  ): TriResult = {
     val spark = edges.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // Peak-memory discipline (round-3 verdict: four simultaneous
@@ -47,14 +60,18 @@ object Triangles {
     // and deg are materialized, and the witness arrays are never cached —
     // each intersection explodes straight into (vid, c) corner rows inside
     // the same codegen pass.
-    val und = edges
-      .select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"),
-      )
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und =
+      (if (distinctCanonical)
+         edges.select(col("src").as("a"), col("dst").as("b"))
+       else
+         edges
+           .select(
+             least(col("src"), col("dst")).as("a"),
+             greatest(col("src"), col("dst")).as("b"),
+           )
+           .where(col("a") =!= col("b"))
+           .distinct())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("a").as("vid"))
       .unionByName(und.select(col("b").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("deg"))
