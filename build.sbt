@@ -29,5 +29,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Janino class cache (static conf, default 100 entries): an 82-query
+  // analytics sweep carries far more than 100 distinct generated-code
+  // shapes, so at the default size every query evicts its predecessors'
+  // classes and recompiles shared shapes (scan/build/scatter/aggregate)
+  // from scratch — measured with CodegenMetrics: a single graph query
+  // compiles ~106 classes (~3 s driver-serial) and still recompiles ~55
+  // on its SECOND run in the same session. 4096 entries keeps every
+  // shape of the workload resident (generated classes are KB-scale —
+  // bounded memory), a workload-size config, not a local[32] tune.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

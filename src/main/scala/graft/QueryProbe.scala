@@ -28,11 +28,24 @@ object QueryProbe {
     // timing loop (plan audit without a timing rep)
     if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
       fn(spark, sfDir).explain("formatted")
+    // GRAFT_DEBUG: report the driver-side Janino compile tax per rep —
+    // generated-class compile time is a real component of a query's
+    // first-run wall (guide §1: measure before optimizing)
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+    def cgSnap(): (Long, Long) =
+      (cg.METRIC_COMPILATION_TIME.getCount,
+        cg.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum)
     (1 to reps).foreach { i =>
+      val (c0, s0) = cgSnap()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (c1, s1) = cgSnap()
       println(
-        f"[probe] $name rep=$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        f"[probe] $name rep=$i rows=$n $wall%.2fs" +
+          (if (sys.env.contains("GRAFT_DEBUG"))
+             s" codegen_compiles=${c1 - c0} codegen_ms~${s1 - s0}"
+           else ""))
     }
     spark.stop()
   }

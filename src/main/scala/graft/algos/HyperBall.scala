@@ -100,6 +100,13 @@ object HyperBall {
   ): HyperBallChain = Superstep.withAqeOff(edges.sparkSession) {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
+    val debug = sys.env.contains("GRAFT_DEBUG")
+    var tPh = System.nanoTime()
+    def ph(label: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      Console.err.println(f"[hyperball] $label ${(now - tPh) / 1e9}%.2fs")
+      tPh = now
+    }
 
     // union-only symmetrize is valid UNCONDITIONALLY here: register
     // merging is a max — idempotent — so duplicate adjacency entries
@@ -108,6 +115,7 @@ object HyperBall {
     val base = EdgeBuilder.symmetrizeDistinct(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val symCnt = base.count()
+    ph(s"base count=$symCnt")
     // per-superstep message volume is ~Registers·|E| (one row per
     // (register, out-edge)); size the loop's partitions to that
     val pEff = Tuning.adaptivePartitions(spark, symCnt * Registers)
@@ -116,6 +124,7 @@ object HyperBall {
     val adj = Csr.build(base, p, Csr.WeightMode.One)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nVerts = Superstep.vertices(base).count()
+    ph(s"verts count=$nVerts")
 
     // each vertex inserts ITSELF into its own sketch: index = low 4 hash
     // bits, rho over the remaining bits (shift, not divide — a double
@@ -131,6 +140,7 @@ object HyperBall {
         ),
       nVerts,
     )
+    ph("init cut")
     var perRound = Vector(estimateFrame(state))
     var iter = 0
     while (iter < rounds) {
@@ -144,6 +154,7 @@ object HyperBall {
         .agg(max("val").as("val"))
       state = Superstep.cut(merged, nVerts * Registers)
       iter += 1
+      ph(s"round $iter")
       perRound :+= estimateFrame(state)
     }
     adj.unpersist(false)
