@@ -23,11 +23,6 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    // GRAFT_EXPLAIN=1: dump the formatted physical plan once before the
-    // timing loop (plan audit without a timing rep)
-    if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
-      fn(spark, sfDir).explain("formatted")
     // GRAFT_DEBUG: report the driver-side Janino compile tax per rep —
     // generated-class compile time is a real component of a query's
     // first-run wall (guide §1: measure before optimizing)
@@ -35,17 +30,25 @@ object QueryProbe {
     def cgSnap(): (Long, Long) =
       (cg.METRIC_COMPILATION_TIME.getCount,
         cg.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum)
-    (1 to reps).foreach { i =>
-      val (c0, s0) = cgSnap()
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val (c1, s1) = cgSnap()
-      println(
-        f"[probe] $name rep=$i rows=$n $wall%.2fs" +
-          (if (sys.env.contains("GRAFT_DEBUG"))
-             s" codegen_compiles=${c1 - c0} codegen_ms~${s1 - s0}"
-           else ""))
+    // comma-separated names probe several queries in ONE warm JVM
+    name.split(",").foreach { nm =>
+      val fn = SparkEntry.queries(nm)
+      // GRAFT_EXPLAIN=1: dump the formatted physical plan once before the
+      // timing loop (plan audit without a timing rep)
+      if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
+        fn(spark, sfDir).explain("formatted")
+      (1 to reps).foreach { i =>
+        val (c0, s0) = cgSnap()
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (c1, s1) = cgSnap()
+        println(
+          f"[probe] $nm rep=$i rows=$n $wall%.2fs" +
+            (if (sys.env.contains("GRAFT_DEBUG"))
+               s" codegen_compiles=${c1 - c0} codegen_ms~${s1 - s0}"
+             else ""))
+      }
     }
     spark.stop()
   }

@@ -89,6 +89,18 @@ object Superstep {
       .unionByName(edges.select(col("dst").as("vid")))
       .distinct()
 
+  /** Distinct vertex ids from a SYMMETRIZED graph's packed adjacency:
+    * after symmetrize every edge endpoint appears as a block source, so
+    * the block srcs ARE the vertex universe — and the blocks are already
+    * hash-partitioned by src (Csr's layout contract), so the distinct
+    * (only needed for hub salt-splits) is exchange-FREE and scans ~|V|
+    * block rows instead of the 2|E| rows [[vertices]] unions (guide
+    * §2.4: remove shuffles outright). Only valid on a symmetrized
+    * adjacency; a directed graph's pure sinks never appear as src.
+    */
+  def verticesFromAdj(adj: Dataset[AdjBlock]): DataFrame =
+    adj.select(col("src").as("vid")).distinct()
+
   /** Scatter: join per-vertex state into the adjacency and emit one row
     * per out-edge: (vid = destination, w = scatter weight, plus every
     * state column except the join key). The caller aggregates. Handles

@@ -55,7 +55,9 @@ object Bfs {
     val adj = Csr.build(sym, p, Csr.WeightMode.One)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val verts = Superstep.vertices(sym)
+    // vertex universe from the packed blocks: exchange-free, ~|V| rows
+    // instead of a 2|E| union+distinct (see Superstep.verticesFromAdj)
+    val verts = Superstep.verticesFromAdj(adj)
     // (vid, dist) — dist null until reached; seeds start at 0
     var state: DataFrame = verts
       .join(

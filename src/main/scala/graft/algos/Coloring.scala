@@ -100,7 +100,7 @@ object Coloring {
 
     val h = hash.one(col("vid")).bitwiseAND(lit(Mask60))
     var state: DataFrame = Superstep.cut(
-      Superstep.vertices(sym).select(
+      Superstep.verticesFromAdj(adj).select(
         col("vid"),
         h.as("h"),
         pmod(h, lit(palette.toLong)).as("color"),
@@ -206,7 +206,7 @@ object Coloring {
     }
 
     var state: DataFrame = Superstep.cut(
-      Superstep.vertices(sym).select(
+      Superstep.verticesFromAdj(adj).select(
         col("vid"),
         hash.one(col("vid")).bitwiseAND(lit(Mask60)).as("h"),
         lit(null).cast("long").as("color"),

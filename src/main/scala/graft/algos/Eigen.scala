@@ -83,7 +83,13 @@ object Eigen {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val tInit = System.nanoTime()
-    val verts = Superstep.vertices(base)
+    // symmetrized mode: vertex universe from the packed blocks —
+    // exchange-free, ~|V| rows instead of a 2|E| union+distinct;
+    // directed (symmetrize=false) inputs keep the endpoint union
+    // (pure sinks never appear as a block src)
+    val verts =
+      if (cfg.symmetrize) Superstep.verticesFromAdj(adj)
+      else Superstep.vertices(base)
     val nVerts = verts.count()
     if (debug) Console.err.println(
       f"[eigen] init verts=$nVerts edges=$edgeCnt ${(System.nanoTime() - tInit) / 1e9}%.2fs")

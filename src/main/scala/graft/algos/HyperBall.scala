@@ -123,7 +123,9 @@ object HyperBall {
     val p = pEff
     val adj = Csr.build(base, p, Csr.WeightMode.One)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nVerts = Superstep.vertices(base).count()
+    // vertex universe from the packed blocks: exchange-free, ~|V| rows
+    // instead of a 2|E| union+distinct (see Superstep.verticesFromAdj)
+    val nVerts = Superstep.verticesFromAdj(adj).count()
     ph(s"verts count=$nVerts")
 
     // each vertex inserts ITSELF into its own sketch: index = low 4 hash
@@ -132,7 +134,7 @@ object HyperBall {
     // xxhash64 can be negative, so mask to 60 bits first on BOTH paths.
     val h = hash.one(col("vid")).bitwiseAND(lit((1L << 60) - 1L))
     var state: DataFrame = Superstep.cut(
-      Superstep.vertices(base)
+      Superstep.verticesFromAdj(adj)
         .select(
           col("vid"),
           h.bitwiseAND(lit(15L)).cast("int").as("idx"),

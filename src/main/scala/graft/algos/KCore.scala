@@ -76,7 +76,7 @@ object KCore {
 
     // (vid, active); everyone starts active
     var state: DataFrame = Superstep.cut(
-      Superstep.vertices(sym).withColumn("active", lit(true)),
+      Superstep.verticesFromAdj(adj).withColumn("active", lit(true)),
       adjCount,
     )
     var activeCnt = state.count()

@@ -73,7 +73,9 @@ object Katz {
       Tuning.withShufflePartitions(spark, pEff) {
       val adj = Csr.build(base, pEff, Csr.WeightMode.One)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val verts = Superstep.vertices(base)
+      // vertex universe from the packed blocks: exchange-free, ~|V| rows
+      // instead of a 2|E| union+distinct (see Superstep.verticesFromAdj)
+      val verts = Superstep.verticesFromAdj(adj)
       val nVerts = verts.count()
 
       // walks_0 = 1 (the empty walk), acc_0 = 0

@@ -77,7 +77,10 @@ object LabelProp {
       case Some((_, df)) =>
         Superstep.cut(df.repartition(p, col("vid")), adjCount)
       case None =>
-        Superstep.cut(Superstep.vertices(base), adjCount)
+        Superstep.cut(
+          if (cfg.symmetrize) Superstep.verticesFromAdj(adj)
+          else Superstep.vertices(base),
+          adjCount)
           .select(col("vid"), col("vid").as("label"))
     }
     while (iter < cfg.iterations) {

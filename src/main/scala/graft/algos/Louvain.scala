@@ -100,7 +100,7 @@ object Louvain {
       )
       val twoM = lit(2L * m).cast("decimal(38,0)")
 
-      var state = Superstep.cut(Superstep.vertices(base), adjCount)
+      var state = Superstep.cut(Superstep.verticesFromAdj(adj), adjCount)
         .select(col("vid"), col("vid").as("comm"))
       // Σtot has one row per community — bounded by the vertex count, so
       // the broadcast decision is a free, deterministic count gate (same
@@ -165,9 +165,17 @@ object Louvain {
     // broadcast dimension under the count gate, never a shuffle of the
     // |E|-sized candidate set on nc at 10^12 scale the gate falls back
     // to a shuffle join.
-    val ctot = state.join(degDf, "vid")
-      .groupBy("comm").agg(sum("deg").as("tot"), count(lit(1)).as("csz"))
-      .select(col("comm").as("nc"), col("tot"), col("csz"))
+    // materialize Σtot once per round: the dimension is referenced TWICE
+    // (ownDf and the candidate join) and broadcast(ctot) used to plan two
+    // identical broadcast-build jobs per round — each re-running the
+    // state⋈deg aggregate (measured r6 via event log: 2 × ~1.3 s warm
+    // per round). A lineage cut makes both references scan the same
+    // cached |communities|-row frame and lets ReuseExchange collapse the
+    // two broadcast exchanges into one.
+    val ctot = Superstep.cut(
+      state.join(degDf, "vid")
+        .groupBy("comm").agg(sum("deg").as("tot"), count(lit(1)).as("csz"))
+        .select(col("comm").as("nc"), col("tot"), col("csz")))
     val ctotSide = if (bcastTot) broadcast(ctot) else ctot
     // own-community size per vertex (singleton guard input): a second
     // reference to the same broadcast dimension, reused not recomputed

@@ -76,7 +76,7 @@ object Mis {
 
     // status: 0 = active, 1 = in MIS, 2 = dominated (a neighbor won)
     var state: DataFrame = Superstep.cut(
-      Superstep.vertices(sym).withColumn("status", lit(0)),
+      Superstep.verticesFromAdj(adj).withColumn("status", lit(0)),
       adjCount,
     )
     var remaining = state.count()

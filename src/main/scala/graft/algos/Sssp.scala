@@ -61,7 +61,9 @@ object Sssp {
     val adj = Csr.build(sym, p, Csr.WeightMode.Raw)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val verts = Superstep.vertices(sym)
+    // vertex universe from the packed blocks: exchange-free, ~|V| rows
+    // instead of a 2|E| union+distinct (see Superstep.verticesFromAdj)
+    val verts = Superstep.verticesFromAdj(adj)
     // (vid, dist, improved) — dist null until reached; seeds start at 0
     // and form the first frontier
     var state: DataFrame = verts

@@ -94,7 +94,7 @@ object Wcc {
       case Some((_, df)) =>
         Superstep.cut(df.repartition(p, col("vid")), adjCount)
       case None =>
-        Superstep.cut(Superstep.vertices(sym), adjCount)
+        Superstep.cut(Superstep.verticesFromAdj(adj), adjCount)
           .select(col("vid"), col("vid").as("comp"))
     }
     var changed = 1L // loop control; sentinel 1 to enter
