@@ -164,7 +164,17 @@ object EdgeBuilder {
       preDistinct: Boolean = true,
   ): DataFrame = {
     val m = if (preDistinct) mem.distinct() else mem
-    val grouped = m.groupBy("grp")
+    // explicit-width exchange before the gather (r6, guide §2.5): the
+    // membership rows are narrow (two longs — a few MB even at 10^6
+    // groups), so a byte-proxied plan (AQE coalescing, or a single-split
+    // source file) runs the CPU-heavy part — collect_set gathering and
+    // the quadratic pair emission downstream — on a handful of tasks.
+    // Stating the width moves the partial aggregation AFTER the exchange
+    // (the raw membership is cheap to ship) and pins the gather + explode
+    // stages at the session's configured parallelism; groupBy(grp) reuses
+    // the same exchange, so the shuffle count is unchanged.
+    val p = mem.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val grouped = m.repartition(p, col("grp")).groupBy("grp")
       .agg(sort_array(collect_set(col("vid"))).as("vids"))
     val small = grouped.where(size(col("vids")) <= maxGroup)
     // ascending member order makes every emitted pair src < dst, the

@@ -85,7 +85,12 @@ object Ppr {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val verts = Superstep.vertices(base)
-    val outs = base.select(col("src").as("vid")).distinct()
+    // vertices WITH out-edges = the block sources: already hash-
+    // partitioned by the vertex key, so this distinct is exchange-free
+    // and scans ~|V⁺| block rows instead of |E| edge rows (the same
+    // argument as Superstep.verticesFromAdj; valid on a DIRECTED graph
+    // here precisely because only the out-set is wanted)
+    val outs = Superstep.verticesFromAdj(adj)
       .withColumn("hasOut", lit(true))
     val nVerts = verts.count()
     // |S ∩ V| — the reset normalizer; seeds outside the graph carry no
