@@ -116,6 +116,35 @@ object Csr {
       .as[AdjBlock]
   }
 
+  /** [[build]] + an eager lineage cut (r6): loop kernels scan the
+    * adjacency EVERY round, and a plain `.persist` leaves the full build
+    * plan (source scan → co-occurrence → pack) in the RDD lineage, so
+    * every round's job serializes and broadcasts it again as task binary
+    * (measured ~2 MiB + ~1.1 MiB of broadcast per job at sf0.1 — pure
+    * driver-side serialize/compress tax across hundreds of loop jobs per
+    * bench sweep). The localCheckpoint truncates the lineage to the
+    * cached blocks; the LogicalRDD wrapper keeps the declared hash(src)
+    * partitioning, so the exchange-free scatter-join contract is
+    * unchanged (plan-pinned in PlanShapeSpec).
+    */
+  def buildCut(
+      edges: Dataset[Edge],
+      numPartitions: Int,
+      mode: WeightMode = WeightMode.NormUniform,
+      maxDegPerBlock: Int = 1 << 16,
+      approxEntries: Long = 0L,
+  ): Dataset[AdjBlock] = {
+    import edges.sparkSession.implicits._
+    // approxEntries (callers pass their adjacency-entry count) picks the
+    // storage form via the shared cut policy: a conservative bound —
+    // block rows ≪ entries — that routes 10^8+-entry graphs to the
+    // serialized level where object-form rows would tax GC tracing
+    Superstep.cut(
+      build(edges, numPartitions, mode, maxDegPerBlock).toDF(),
+      approxEntries)
+      .as[AdjBlock]
+  }
+
   /** Total adjacency entries — the |E| used for edges-traversed/sec.
     * (sum over an empty dataset is NULL — coalesce, don't NPE.)
     */

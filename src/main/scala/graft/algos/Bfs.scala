@@ -52,8 +52,7 @@ object Bfs {
     val pEff = Tuning.adaptivePartitions(spark, symCnt)
     Tuning.withShufflePartitions(spark, pEff) {
     val p = pEff
-    val adj = Csr.build(sym, p, Csr.WeightMode.One)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.buildCut(sym, p, Csr.WeightMode.One, approxEntries = symCnt)
 
     // vertex universe from the packed blocks: exchange-free, ~|V| rows
     // instead of a 2|E| union+distinct (see Superstep.verticesFromAdj)

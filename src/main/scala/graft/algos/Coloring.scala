@@ -95,8 +95,7 @@ object Coloring {
     val pEff = Tuning.adaptivePartitions(spark, adjCount)
     Tuning.withShufflePartitions(spark, pEff) {
     val p = pEff
-    val adj = Csr.build(sym, p, Csr.WeightMode.One)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.buildCut(sym, p, Csr.WeightMode.One, approxEntries = adjCount)
 
     val h = hash.one(col("vid")).bitwiseAND(lit(Mask60))
     var state: DataFrame = Superstep.cut(
@@ -195,8 +194,7 @@ object Coloring {
       .select(col("src"), col("dst"), lit(1.0).as("weight"))
       .as[Edge]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val adj = Csr.build(sym, p, Csr.WeightMode.One)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.buildCut(sym, p, Csr.WeightMode.One)
     val adjCount = adj.count()
     if (adjCount == 0) {
       adj.unpersist(false)

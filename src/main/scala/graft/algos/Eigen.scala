@@ -79,8 +79,9 @@ object Eigen {
     val p = pEff
     val mode =
       if (cfg.weighted) Csr.WeightMode.Raw else Csr.WeightMode.One
-    val adj = Csr.build(base, p, mode)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // lineage-cut adjacency: see Csr.buildCut (kills the per-job ~2 MiB
+    // task-binary rebroadcast of the full build plan)
+    val adj = Csr.buildCut(base, p, mode, approxEntries = edgeCnt)
 
     val tInit = System.nanoTime()
     // symmetrized mode: vertex universe from the packed blocks —

@@ -86,14 +86,14 @@ object Hits {
     }
     val pEff = Tuning.adaptivePartitions(spark, edgeCnt)
     Tuning.withShufflePartitions(spark, pEff) {
-      val fwd = Csr.build(base, pEff, Csr.WeightMode.One)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val rev = Csr.build(
+      val fwd = Csr.buildCut(base, pEff, Csr.WeightMode.One, approxEntries = edgeCnt)
+      val rev = Csr.buildCut(
         base.select(
           col("dst").as("src"), col("src").as("dst"), col("weight"),
         ).as[Edge],
         pEff, Csr.WeightMode.One,
-      ).persist(StorageLevel.MEMORY_AND_DISK)
+        approxEntries = edgeCnt,
+      )
 
       val verts = Superstep.vertices(base)
       val nVerts = verts.count()

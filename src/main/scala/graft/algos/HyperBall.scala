@@ -121,8 +121,7 @@ object HyperBall {
     val pEff = Tuning.adaptivePartitions(spark, symCnt * Registers)
     Tuning.withShufflePartitions(spark, pEff) {
     val p = pEff
-    val adj = Csr.build(base, p, Csr.WeightMode.One)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.buildCut(base, p, Csr.WeightMode.One, approxEntries = symCnt)
     // vertex universe from the packed blocks: exchange-free, ~|V| rows
     // instead of a 2|E| union+distinct (see Superstep.verticesFromAdj)
     val nVerts = Superstep.verticesFromAdj(adj).count()

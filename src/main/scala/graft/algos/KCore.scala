@@ -71,8 +71,7 @@ object KCore {
     val pEff = Tuning.adaptivePartitions(spark, adjCount)
     Tuning.withShufflePartitions(spark, pEff) {
     val p = pEff
-    val adj = Csr.build(sym, p, Csr.WeightMode.One)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.buildCut(sym, p, Csr.WeightMode.One, approxEntries = adjCount)
 
     // (vid, active); everyone starts active
     var state: DataFrame = Superstep.cut(

@@ -71,8 +71,7 @@ object Katz {
       }
       val pEff = Tuning.adaptivePartitions(spark, edgeCnt)
       Tuning.withShufflePartitions(spark, pEff) {
-      val adj = Csr.build(base, pEff, Csr.WeightMode.One)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adj = Csr.buildCut(base, pEff, Csr.WeightMode.One, approxEntries = edgeCnt)
       // vertex universe from the packed blocks: exchange-free, ~|V| rows
       // instead of a 2|E| union+distinct (see Superstep.verticesFromAdj)
       val verts = Superstep.verticesFromAdj(adj)

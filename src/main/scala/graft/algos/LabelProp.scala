@@ -61,8 +61,7 @@ object LabelProp {
     val p = pEff
     val mode =
       if (cfg.weighted) Csr.WeightMode.Raw else Csr.WeightMode.One
-    val adj = Csr.build(base, p, mode)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.buildCut(base, p, mode, approxEntries = adjCount)
 
     val resumed = store.flatMap(_.latest(spark))
     var iter = resumed.map(_._1.iteration).getOrElse(0)

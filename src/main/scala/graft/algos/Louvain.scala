@@ -91,8 +91,7 @@ object Louvain {
       val pEff = Tuning.adaptivePartitions(spark, 2L * m)
       Tuning.withShufflePartitions(spark, pEff) {
       val p = pEff
-      val adj = Csr.build(base, p, Csr.WeightMode.One)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adj = Csr.buildCut(base, p, Csr.WeightMode.One, approxEntries = adjCount)
       // simple degree, hash(vid)-partitioned (groupBy src leaves it there)
       val degDf = Superstep.cut(
         base.toDF().groupBy(col("src")).agg(count(lit(1)).as("deg"))

@@ -71,8 +71,7 @@ object Mis {
     val pEff = Tuning.adaptivePartitions(spark, adjCount)
     Tuning.withShufflePartitions(spark, pEff) {
     val p = pEff
-    val adj = Csr.build(sym, p, Csr.WeightMode.One)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.buildCut(sym, p, Csr.WeightMode.One, approxEntries = adjCount)
 
     // status: 0 = active, 1 = in MIS, 2 = dominated (a neighbor won)
     var state: DataFrame = Superstep.cut(

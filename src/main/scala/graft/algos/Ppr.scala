@@ -81,8 +81,7 @@ object Ppr {
     val mode =
       if (cfg.weighted) Csr.WeightMode.NormWeighted
       else Csr.WeightMode.NormUniform
-    val adj = Csr.build(base, p, mode)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.buildCut(base, p, mode, approxEntries = edgeCnt)
 
     val verts = Superstep.vertices(base)
     // vertices WITH out-edges = the block sources: already hash-

@@ -58,8 +58,7 @@ object Sssp {
     val pEff = Tuning.adaptivePartitions(spark, symCnt)
     Tuning.withShufflePartitions(spark, pEff) {
     val p = pEff
-    val adj = Csr.build(sym, p, Csr.WeightMode.Raw)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = Csr.buildCut(sym, p, Csr.WeightMode.Raw, approxEntries = symCnt)
 
     // vertex universe from the packed blocks: exchange-free, ~|V| rows
     // instead of a 2|E| union+distinct (see Superstep.verticesFromAdj)
