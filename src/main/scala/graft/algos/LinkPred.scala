@@ -47,7 +47,11 @@ object LinkPred {
     // canonical simple edges (co-occurrence tables are already canonical
     // — distinctCanonical callers skip this full-|E| exchange; stays
     // correct for arbitrary directed input without the flag)
-    val und =
+    // materialized ONCE (r6): und feeds the wedge chain AND the final
+    // non-adjacency anti-join — without the cut each reference re-ran
+    // the caller's whole edge pipeline (the co-occurrence build) through
+    // the lazy plan
+    val und = Superstep.cut(
       if (distinctCanonical)
         edges.toDF().select(col("src").as("a"), col("dst").as("b"))
       else edges.toDF()
@@ -56,11 +60,13 @@ object LinkPred {
           greatest(col("src"), col("dst")).as("b"),
         )
         .where(col("a") =!= col("b"))
-        .distinct()
+        .distinct())
     val sym = und.select(col("a").as("w"), col("b").as("u"))
       .unionByName(und.select(col("b").as("w"), col("a").as("u")))
     val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
-    val capped = sym.join(deg, "w").where(col("deg") <= maxDeg)
+    // materialized too: both sides of the wedge self-join consume it
+    // (each would otherwise redo the sym+deg aggregate chain)
+    val capped = Superstep.cut(sym.join(deg, "w").where(col("deg") <= maxDeg))
     val wedges = capped.select(col("w"), col("u"), col("deg"))
       .join(capped.select(col("w"), col("u").as("v")), Seq("w"))
       .where(col("u") < col("v"))
